@@ -1,0 +1,95 @@
+package graft.gate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.index.{FieldDoc, IndexBuilder, DfIndex}
+
+/** One driver-gate query: a Spark implementation and (when SQL-expressible)
+  * an equivalent DuckDB oracle over the same parquet tables. Column names
+  * and rounding must match exactly — the driver sorts columns by name and
+  * hashes values.
+  */
+case class GateQuery(name: String,
+                     fn: (SparkSession, String) => DataFrame,
+                     oracle: Option[String])
+
+/** Shared per-sfDir state for gate queries: the documents-table inverted
+  * index, built once per JVM per scale factor. Fields: `default` = full
+  * text, `title` = first 8 tokens, `body` = the rest (the documents table
+  * has no native fields; this split is mirrored exactly in the oracle SQL
+  * via list slicing).
+  */
+object IndexCache {
+  val TitleTokens = 8
+
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[String, DfIndex]
+
+  def documentsIndex(spark: SparkSession, sfDir: String): DfIndex =
+    cache.getOrElseUpdate(sfDir, {
+      import spark.implicits._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("long").as("docId"), col("text"))
+      val fieldDocs = docs.as[(Long, String)].flatMap { case (id, text) =>
+        val toks = graft.analysis.Tokenizer.tokenize(text)
+        val (titleToks, bodyToks) = toks.splitAt(TitleTokens)
+        Seq(
+          FieldDoc(id, "default", text),
+          FieldDoc(id, "title", titleToks.mkString(" ")),
+          FieldDoc(id, "body", bodyToks.mkString(" ")))
+      }
+      IndexBuilder.inMemory(IndexBuilder.buildPostings(fieldDocs))
+    })
+}
+
+/** DuckDB SQL building blocks shared by the IR oracle queries. The
+  * tokenization must match graft.analysis.Tokenizer bit-for-bit:
+  * lower + split on [^a-z0-9]+ with empties dropped.
+  */
+object OracleSql {
+  /** Tokenized postings/stats CTE prelude over the documents table.
+    * Field slicing mirrors IndexCache: title = first 8 tokens, body = rest.
+    * `post` = (doc_id, term, tf); `dlen` = (doc_id, dl); `stats` = (n,
+    * avgdl) over the DEFAULT field (scoring always uses default-field
+    * collection stats, like the reference's config-injected N/avgdl);
+    * `tstat` = (term, df, cf) for the selected field.
+    */
+  def prelude(field: String = "default"): String = {
+    val slice = field match {
+      case "default" => "ts"
+      case "title"   => s"ts[1:${IndexCache.TitleTokens}]"
+      case "body"    => s"ts[${IndexCache.TitleTokens + 1}:]"
+    }
+    s"""WITH toksrc AS (
+  SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS ts FROM documents
+),
+ftok AS (
+  SELECT doc_id, unnest($slice) AS term FROM toksrc
+),
+tok AS (SELECT doc_id, term FROM ftok WHERE term <> ''),
+dtok AS (
+  SELECT doc_id, term FROM (SELECT doc_id, unnest(ts) AS term FROM toksrc) WHERE term <> ''
+),
+post AS (SELECT doc_id, term, count(*)::INT AS tf FROM tok GROUP BY 1, 2),
+dlen AS (SELECT doc_id, count(*)::INT AS dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, (sum(dl)::DOUBLE / count(*)) AS avgdl
+  FROM (SELECT doc_id, count(*) AS dl FROM dtok GROUP BY 1)
+),
+tstat AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM post GROUP BY 1)"""
+  }
+
+  /** BM25 per-posting score (k1 = 1.2, b = 0.75), no (k1+1) numerator, no
+    * idf clamp — the reference formula (BM25Retriever.scala:52-57).
+    */
+  def bm25(tf: String, dl: String, df: String): String =
+    s"log10((s.n - $df + 0.5) / ($df + 0.5)) * $tf / ($tf + 1.2 * (0.25 + 0.75 * $dl / s.avgdl))"
+
+  /** Indri two-level smoothing, wordBased prior (IndriRetriever.scala:38-55);
+    * W = total default-field words (a literal filled per scale by `wstats`).
+    */
+  def indri(tf: String, dl: String, cf: String): String =
+    s"log10(0.4 * ($tf + 2500.0 * ($cf / w.wc)) / ($dl + 2500.0) + 0.6 * ($cf / w.wc))"
+
+  val wstats = ",\nwstats AS (SELECT count(*)::DOUBLE AS wc FROM dtok)"
+}

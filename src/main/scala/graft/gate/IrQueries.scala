@@ -1,0 +1,187 @@
+package graft.gate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.query._
+
+/** Driver-gate queries covering the IR operator inventory (SURVEY.md §2):
+  * S1 scan, F1 stop pruning, F2 field restriction, J1/J2 Boolean AND/OR,
+  * J4 SUM, J5 WEIGHT, J6 NEAR, J7 UW, A1/A2/A3 scorers, T1 top-k ranking,
+  * S4 TREC shape. All run against the documents table of the given sfDir;
+  * index built once per scale via IndexCache.
+  *
+  * Scores are rounded to 6 decimals on BOTH sides (the reference's own
+  * output precision — trecLikeResult.scala:11) so the driver's value-hash
+  * compare is robust to sub-ulp FP divergence between JVM and DuckDB libm.
+  */
+object IrQueries {
+  import OracleSql._
+
+  private def engine(spark: SparkSession, sfDir: String, model: Model) =
+    new Engine(IndexCache.documentsIndex(spark, sfDir), model)
+
+  private val bm25Parser = new QueryParser(defaultOp = QOp.SUM)
+  private val boolParser = new QueryParser(defaultOp = QOp.OR)
+  private val indriParser = new QueryParser(defaultOp = QOp.AND)
+
+  /** Evaluate `q` and return (doc_id, score6) for every retrieved doc. */
+  private def eval(spark: SparkSession, sfDir: String, model: Model,
+                   parser: QueryParser, q: String): DataFrame = {
+    val e = engine(spark, sfDir, model)
+    e.lower(parser.parse(q)).df
+      .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+  }
+
+  /** Top-k with rank (T1 order: score desc, docId desc). */
+  private def topk(spark: SparkSession, sfDir: String, model: Model,
+                   parser: QueryParser, q: String, k: Int): DataFrame = {
+    val e = engine(spark, sfDir, model)
+    e.search(q, k, parser)
+      .select(col("docId").as("doc_id"), col("rank"),
+        round(col("score"), 6).as("score"))
+  }
+
+  val all: Seq[GateQuery] = Seq(
+
+    // S1: leaf inverted-list scan — postings of one term with tf and dl.
+    GateQuery("q_ir_scan_term",
+      (s, d) => {
+        val idx = IndexCache.documentsIndex(s, d)
+        idx.postings("spark", "default")
+          .select(col("docId").as("doc_id"), col("tf"), col("dl"))
+      },
+      Some(s"""${prelude()}
+SELECT p.doc_id AS doc_id, p.tf AS tf, d.dl AS dl
+FROM post p JOIN dlen d USING (doc_id) WHERE p.term = 'spark'""")),
+
+    // J4+A1+T1: BM25 #SUM bag-of-words, top-20 ranked.
+    GateQuery("q_ir_bm25_topk",
+      (s, d) => topk(s, d, BM25(), bm25Parser, "spark join table", 20),
+      Some(s"""${prelude()}
+SELECT doc_id, rank, score FROM (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY scoreraw DESC, doc_id DESC) AS rank,
+         round(scoreraw, 6) AS score
+  FROM (
+    SELECT p.doc_id AS doc_id, sum(${bm25("p.tf", "d.dl", "t.df")}) AS scoreraw
+    FROM post p JOIN dlen d USING (doc_id) JOIN tstat t USING (term)
+    CROSS JOIN stats s
+    WHERE p.term IN ('spark', 'join', 'table')
+    GROUP BY 1))
+WHERE rank <= 20""")),
+
+    // F1: stopword pruning — stop leaves skipped at evaluation; oracle
+    // simply never mentions them.
+    GateQuery("q_ir_bm25_stopprune",
+      (s, d) => eval(s, d, BM25(), bm25Parser, "the spark about join all table"),
+      Some(s"""${prelude()}
+SELECT p.doc_id AS doc_id, round(sum(${bm25("p.tf", "d.dl", "t.df")}), 6) AS score
+FROM post p JOIN dlen d USING (doc_id) JOIN tstat t USING (term)
+CROSS JOIN stats s
+WHERE p.term IN ('spark', 'join', 'table')
+GROUP BY 1""")),
+
+    // J1+A3: Boolean ranked AND — docId intersection, min tf.
+    GateQuery("q_ir_bool_and",
+      (s, d) => eval(s, d, Bool(ranked = true), boolParser, "#and(key value)"),
+      Some(s"""${prelude()}
+SELECT doc_id, round(min(tf)::DOUBLE, 6) AS score
+FROM post WHERE term IN ('key', 'value')
+GROUP BY doc_id HAVING count(DISTINCT term) = 2""")),
+
+    // J2+A3: Boolean ranked OR — docId union, max tf.
+    GateQuery("q_ir_bool_or",
+      (s, d) => eval(s, d, Bool(ranked = true), boolParser, "#or(key value)"),
+      Some(s"""${prelude()}
+SELECT doc_id, round(max(tf)::DOUBLE, 6) AS score
+FROM post WHERE term IN ('key', 'value') GROUP BY doc_id""")),
+
+    // A3 unranked + T1 unranked order (docId desc, score forced 1).
+    GateQuery("q_ir_bool_unranked",
+      (s, d) => topk(s, d, Bool(ranked = false), boolParser,
+        "#and(key value)", 15),
+      Some(s"""${prelude()}
+SELECT doc_id, rank, score FROM (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id DESC) AS rank,
+         1.0 AS score
+  FROM (SELECT doc_id FROM post WHERE term IN ('key', 'value')
+        GROUP BY doc_id HAVING count(DISTINCT term) = 2))
+WHERE rank <= 15""")),
+
+    // J4+A2: Indri #AND — union-with-defaults merge, Dirichlet/JM mix.
+    GateQuery("q_ir_indri_and",
+      (s, d) => eval(s, d, Indri(), indriParser, "query plan"),
+      Some(s"""${prelude()}$wstats,
+qt AS (SELECT term, df, cf FROM tstat WHERE term IN ('query', 'plan')),
+cand AS (SELECT DISTINCT doc_id FROM post WHERE term IN ('query', 'plan'))
+SELECT c.doc_id AS doc_id,
+       round(sum(CASE WHEN p.tf IS NULL
+                 THEN ${indri("0.0", "s.avgdl", "q.cf")}
+                 ELSE ${indri("p.tf", "d.dl", "q.cf")} END), 6) AS score
+FROM cand c CROSS JOIN qt q CROSS JOIN stats s CROSS JOIN wstats w
+LEFT JOIN post p ON p.doc_id = c.doc_id AND p.term = q.term
+JOIN dlen d ON d.doc_id = c.doc_id
+GROUP BY 1""")),
+
+    // J5+A2: Indri #WEIGHT with normalized weights.
+    GateQuery("q_ir_indri_weight",
+      (s, d) => eval(s, d, Indri(), indriParser, "#weight(0.7 query 0.3 plan)"),
+      Some(s"""${prelude()}$wstats,
+qt AS (SELECT term, df, cf, CASE term WHEN 'query' THEN 0.7 ELSE 0.3 END AS w
+       FROM tstat WHERE term IN ('query', 'plan')),
+cand AS (SELECT DISTINCT doc_id FROM post WHERE term IN ('query', 'plan'))
+SELECT c.doc_id AS doc_id,
+       round(sum(q.w * CASE WHEN p.tf IS NULL
+                 THEN ${indri("0.0", "s.avgdl", "q.cf")}
+                 ELSE ${indri("p.tf", "d.dl", "q.cf")} END), 6) AS score
+FROM cand c CROSS JOIN qt q CROSS JOIN stats s CROSS JOIN wstats w
+LEFT JOIN post p ON p.doc_id = c.doc_id AND p.term = q.term
+JOIN dlen d ON d.doc_id = c.doc_id
+GROUP BY 1""")),
+
+    // F2: field restriction — BM25 over the title field (df/cf from the
+    // title index; N/avgdl stay the default-field collection stats, as in
+    // the reference's config-injected scorer constants).
+    GateQuery("q_ir_field_title",
+      (s, d) => eval(s, d, BM25(), bm25Parser, "key+title value+title"),
+      Some(s"""${prelude("title")}
+SELECT p.doc_id AS doc_id, round(sum(${bm25("p.tf", "d.dl", "t.df")}), 6) AS score
+FROM post p JOIN dlen d USING (doc_id) JOIN tstat t USING (term)
+CROSS JOIN stats s
+WHERE p.term IN ('key', 'value')
+GROUP BY 1""")),
+
+    // J6: #NEAR/2 positional ordered window (greedy advance-both matching
+    // is sequential — no SQL oracle; driver does the rows-only check, exact
+    // semantics are pinned by the ScalaTest reference oracle).
+    GateQuery("q_ir_near",
+      (s, d) => {
+        val e = engine(s, d, BM25())
+        e.lower(bm25Parser.parse("#near/2(key value)")).df
+          .select(col("docId").as("doc_id"), col("tf"),
+            round(col("score"), 6).as("score"))
+      },
+      None),
+
+    // J7: #UW/4 unordered window (same story — rows-only).
+    GateQuery("q_ir_uw",
+      (s, d) => {
+        val e = engine(s, d, Indri())
+        e.lower(indriParser.parse("#uw/4(key value table)")).df
+          .select(col("docId").as("doc_id"), col("tf"),
+            round(col("score"), 6).as("score"))
+      },
+      None),
+
+    // SDM-shaped nested query (WEIGHT over AND/NEAR/UW) — rows-only.
+    GateQuery("q_ir_sdm",
+      (s, d) => {
+        val e = engine(s, d, Indri())
+        e.lower(indriParser.parse(
+          "#weight( 0.8 #and( key value ) 0.1 #and( #near/1( key value ) ) 0.1 #and( #uw/8( key value ) ) )")).df
+          .select(col("docId").as("doc_id"),
+            round(col("score"), 6).as("score"))
+      },
+      None)
+  )
+}

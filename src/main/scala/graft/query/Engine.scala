@@ -1,0 +1,265 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.index.SearchIndex
+
+/** Query evaluation: lowers the parsed AST to declarative DataFrame plans.
+  *
+  * Mapping from the reference's iterator merges (all sorted-by-docId
+  * single-threaded list merges) to Spark relational ops — semantics proven
+  * equivalent in the test oracle suite:
+  *
+  *  - leaf scan  → postings point-lookup + score column (codegen arithmetic,
+  *    per-term df/cf folded in as literals)
+  *  - Boolean AND (min score, intersection;
+  *    yairs/retrieval/BooleanRetriever.scala:150-188) →
+  *    union + groupBy(docId) + min(score) having count == nChildren
+  *  - Boolean OR (max score, union; BooleanRetriever.scala:84-142) →
+  *    union + groupBy(docId) + max(score)
+  *  - BM25/Indri AND/SUM/WEIGHT (k-way union-with-defaults merge,
+  *    yairs/retrieval/MultimergeSturcturedRetriever.scala:31-87):
+  *    score(doc) = Σ_present wᵢ·sᵢ + Σ_absent wᵢ·dᵢ
+  *               = Σ_present wᵢ·(sᵢ − dᵢ) + Σ_all wᵢ·dᵢ (constant),
+  *    lowered exactly as union → groupBy(docId) → sum(contrib) + lit(C).
+  *    No outer join needed; one shuffle for any fan-in.
+  *  - #NEAR/k → left-fold of inner joins on docId + nearMatches kernel,
+  *    then a two-pass virtual-term rescore (cf/df aggregated first), like
+  *    StructuredRetriever.scala:123-171.
+  *  - #UW/k → single groupBy(docId) gathering all children (count == n
+  *    enforces the all-lists requirement of
+  *    MultimergeSturcturedRetriever.scala:117), uwMatches kernel, two-pass
+  *    rescore.
+  *
+  * Every lowered node carries its defaultScore (driver-side Double) — the
+  * absent-term correction of the k-way merge.
+  */
+class Engine(index: SearchIndex, val model: Model,
+             val defaultField: String = "default") extends Serializable {
+
+  val scorer = new Scorer(model, index.collStats)
+
+  private val postingsSchema = StructType(Seq(
+    StructField("docId", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false),
+    StructField("tf", IntegerType, nullable = false),
+    StructField("dl", IntegerType, nullable = false),
+    StructField("positions", ArrayType(IntegerType, containsNull = false))))
+
+  /** A lowered query node: scored postings + the node's default score
+    * (what an absent doc would contribute under a weighted merge).
+    */
+  case class Lowered(df: DataFrame, default: Double)
+
+  private def spark: SparkSession =
+    SparkSession.active
+
+  private def emptyLowered: Lowered =
+    Lowered(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], postingsSchema), 0.0)
+
+  private val nearUdf = udf(Positional.nearMatches _)
+  private val uwUdf = udf(Positional.uwMatches _)
+
+  // ---------------------------------------------------------------- leaves
+
+  private def lowerLeaf(leaf: QLeaf): Lowered = {
+    val (df0, cf0) = index.termStat(leaf.term, leaf.field)
+    if (df0 == 0L)
+      return emptyLowered // missing list: empty, defaultScore 0
+                          // (InvertedList.scala:107-110,156-159)
+    val p = index.postings(leaf.term, leaf.field)
+    val scored = p.select(
+      col("docId"),
+      scorer.leafScoreCol(cf0, df0, col("tf"), col("dl")).as("score"),
+      col("tf"), col("dl"), col("positions"))
+    Lowered(scored, scorer.defaultScore(cf0, df0))
+  }
+
+  // ------------------------------------------------------- merge operators
+
+  /** Merged postings carry tf = dl = -1 and no positions, like the
+    * reference's Posting(docId, score) (yairs/model/Posting.scala:14-16):
+    * a positional operator over a merged child silently matches nothing.
+    */
+  private def opaque(df: DataFrame): DataFrame = df.select(
+    col("docId"), col("score"), lit(-1).as("tf"), lit(-1).as("dl"),
+    array().cast(ArrayType(IntegerType, containsNull = false)).as("positions"))
+
+  private def boolAnd(children: Seq[Lowered]): Lowered = {
+    if (children.length == 1) return children.head
+    val n = children.length
+    val merged = children.map(_.df.select("docId", "score")).reduce(_ union _)
+      .groupBy("docId")
+      .agg(min("score").as("score"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") === n).drop("cnt")
+    Lowered(opaque(merged), 0.0)
+  }
+
+  private def boolOr(children: Seq[Lowered]): Lowered = {
+    if (children.length == 1) return children.head
+    val merged = children.map(_.df.select("docId", "score")).reduce(_ union _)
+      .groupBy("docId").agg(max("score").as("score"))
+    Lowered(opaque(merged), 0.0)
+  }
+
+  /** k-way union-with-defaults merge (BM25/Indri AND, SUM, WEIGHT). */
+  private def weightedMerge(children: Seq[Lowered],
+                            weights: Seq[Double]): Lowered = {
+    val combined = children.zip(weights).map { case (c, w) => c.default * w }.sum
+    val parts = children.zip(weights).map { case (c, w) =>
+      c.df.select(col("docId"),
+        ((col("score") - lit(c.default)) * lit(w)).as("contrib"))
+    }
+    val merged = parts.reduce(_ union _)
+      .groupBy("docId")
+      .agg((sum("contrib") + lit(combined)).as("score"))
+    Lowered(opaque(merged), combined)
+  }
+
+  /** Two-pass virtual-term construction shared by NEAR and UW: aggregate
+    * the virtual cf/df over the matched postings, then score every posting
+    * with the term scorer (reference does the same second pass:
+    * StructuredRetriever.scala:165-168,
+    * MultimergeSturcturedRetriever.scala:154-164).
+    */
+  private def rescoreVirtual(matched: DataFrame, uwEmptyRule: Boolean): Lowered = {
+    val m = matched.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val statsRow = m.agg(
+      coalesce(sum("tf"), lit(0L)).cast("long").as("cf"),
+      count(lit(1)).as("df")).collect()(0)
+    val cfV = statsRow.getLong(0)
+    val dfV = statsRow.getLong(1)
+    if (uwEmptyRule && cfV == 0L) {
+      // UW with zero matches returns the empty list with default 0
+      // (MultimergeSturcturedRetriever.scala:161-162), NOT the scored
+      // default — for Indri those differ (scorer(0,0,0,avgdl) = MIN_VALUE).
+      m.unpersist()
+      return emptyLowered
+    }
+    val scored = m.select(
+      col("docId"),
+      scorer.termScoreCol(cfV, dfV, col("tf"), col("dl")).as("score"),
+      col("tf"), col("dl"), col("positions"))
+    Lowered(scored, scorer.defaultScore(cfV, dfV))
+  }
+
+  private def near(children: Seq[Lowered], k: Int): Lowered = {
+    if (children.length == 1) return children.head // fold pass-through
+                                                   // (StructuredRetriever.scala:58-67)
+    val matched = children.reduceLeft { (l, r) =>
+      val left = l.df.select(col("docId"), col("dl"),
+        col("positions").as("pos1"))
+      val right = r.df.select(col("docId"), col("positions").as("pos2"))
+      val joined = left.join(right, Seq("docId"), "inner")
+        .withColumn("mpos", nearUdf(col("pos1"), col("pos2"), lit(k)))
+        .filter(size(col("mpos")) > 0)
+        // tf = #matches; dl kept from the LEFT posting; positions = matched
+        // right-hand positions (StructuredRetriever.scala:139-147)
+        .select(col("docId"), lit(0.0).as("score"),
+          size(col("mpos")).as("tf"), col("dl"), col("mpos").as("positions"))
+      Lowered(joined, 0.0)
+    }.df
+    rescoreVirtual(matched, uwEmptyRule = false)
+  }
+
+  private def uw(children: Seq[Lowered], k: Int): Lowered = {
+    val n = children.length
+    val parts = children.zipWithIndex.map { case (c, i) =>
+      c.df.select(col("docId"), lit(i).as("cidx"), col("dl"), col("positions"))
+    }
+    val gathered = parts.reduce(_ union _)
+      .groupBy("docId")
+      .agg(count(lit(1)).as("cnt"),
+        sort_array(collect_list(struct(col("cidx"), col("dl"),
+          col("positions")))).as("lists"))
+      .filter(col("cnt") === n) // doc must appear in ALL lists
+                                // (MultimergeSturcturedRetriever.scala:117)
+    val matched = gathered.select(
+      col("docId"),
+      uwUdf(expr("transform(lists, x -> x.positions)"), lit(k)).as("tf"),
+      // dl of the FIRST child's posting
+      // (MultimergeSturcturedRetriever.scala:141)
+      expr("lists[0].dl").as("dl"))
+      .filter(col("tf") > 0)
+      .select(col("docId"), lit(0.0).as("score"), col("tf"), col("dl"),
+        array().cast(ArrayType(IntegerType, containsNull = false)).as("positions"))
+    rescoreVirtual(matched, uwEmptyRule = true)
+  }
+
+  // ------------------------------------------------------------- recursion
+
+  def lower(node: QNode): Lowered = node match {
+    case l: QLeaf => lowerLeaf(l)
+    case QInner(op, prox, kids, weights) =>
+      // stop-leaf children pruned at evaluation, not parse
+      // (StructuredRetriever.scala:29-33)
+      val keptPairs = kids.zipWithIndex.filterNot(_._1.isStopLeaf)
+      val kept = keptPairs.map(_._1)
+      if (kept.isEmpty) return emptyLowered
+      val lowered = kept.map(lower)
+      op match {
+        case QOp.OR => model match {
+          case Bool(_) => boolOr(lowered)
+          case _ => throw new UnsupportedOperationException(
+            s"$model does not support OR") // MultimergeSturctured…:250-252
+        }
+        case QOp.AND | QOp.SUM => model match {
+          case Bool(_) => boolAnd(lowered)
+          case _       => weightedMerge(lowered, List.fill(lowered.length)(1.0))
+        }
+        case QOp.WEIGHT => model match {
+          case Indri(_, _, _) =>
+            // Fidelity quirk: the reference prunes stop children but zips
+            // the UNPRUNED weights list against the pruned lists (zip
+            // truncates, MultimergeSturcturedRetriever.scala:40-44), so
+            // after a stop child is dropped the remaining lists take the
+            // FIRST n weights positionally — not their own. Reproduced.
+            weightedMerge(lowered, weights.take(lowered.length))
+          case _ => throw new UnsupportedOperationException(
+            s"$model does not support WEIGHT") // BM25Retriever.scala:65-67
+        }
+        case QOp.NEAR => near(lowered, prox)
+        case QOp.UW => model match {
+          case Bool(_) => throw new UnsupportedOperationException(
+            "Boolean does not support UW") // BooleanRetriever.scala:205-210
+          case _ => uw(lowered, prox)
+        }
+      }
+  }
+
+  // ------------------------------------------------------------ entry points
+
+  /** Rank the evaluated postings: score desc, ties docId desc when ranked;
+    * docId desc with score forced to 1 when unranked (reference total order:
+    * yairs/retrieval/Retriever.scala:28-49 — stable sort by -score after
+    * sort by -docId). numResults < 0 means all (RetrieverRunner.scala:71).
+    */
+  def search(queryStr: String, numResults: Int,
+             parser: QueryParser): DataFrame = {
+    val ranked = model match { case Bool(r) => r; case _ => true }
+    val lowered = lower(parser.parse(queryStr))
+    val base = lowered.df.select(col("docId"),
+      (if (ranked) col("score") else lit(1.0)).as("score"))
+    val ordered =
+      if (ranked) base.orderBy(col("score").desc, col("docId").desc)
+      else base.orderBy(col("docId").desc)
+    val top = if (numResults >= 0) ordered.limit(numResults) else ordered
+    // rank over the (small) top-k — single partition is fine post-limit
+    top.withColumn("rank", row_number().over(
+      if (ranked) Window.orderBy(col("score").desc, col("docId").desc)
+      else Window.orderBy(col("docId").desc)))
+  }
+
+  /** TREC run rows for a set of (qid, query) pairs. */
+  def searchAll(queries: Seq[(String, String)], numResults: Int,
+                parser: QueryParser, runId: String): Seq[graft.model.TrecResult] =
+    queries.flatMap { case (qid, q) =>
+      search(q, numResults, parser).collect().map { r =>
+        graft.model.TrecResult(qid, r.getAs[Long]("docId"),
+          r.getAs[Int]("rank"), r.getAs[Double]("score"), runId)
+      }
+    }
+}
