@@ -1,0 +1,155 @@
+package graft.index
+
+import graft.model.Posting
+
+/** Posting-list compression: docId-delta + variable-byte, with per-block
+  * skip metadata for block-max pruning (WAND).
+  *
+  * Blob layout (one (term, field, bucket) segment):
+  *   repeat per posting, in ascending docId order:
+  *     vlong(docId delta from previous docId; first = delta from 0)
+  *     vint(tf) vint(dl) vint(#positions) vint*(position deltas)
+  *
+  * Block metadata is stored alongside (columnar arrays, not in the blob):
+  * every `BlockSize` postings record (firstDocId, byteOffset, maxTf,
+  * minDl). maxTf/minDl give a model-agnostic upper bound on any
+  * tf-monotone / dl-antitone score (BM25 partials included) — block-max
+  * pruning stays valid for any (k1, b) chosen at query time.
+  */
+object Codec {
+  val BlockSize = 128
+
+  final class Output(initial: Int = 1 << 12) {
+    private var buf = new Array[Byte](initial)
+    private var len = 0
+    def size: Int = len
+    private def ensure(n: Int): Unit =
+      if (len + n > buf.length) {
+        buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + n))
+      }
+    def writeVLong(v0: Long): Unit = {
+      require(v0 >= 0, s"vlong must be non-negative: $v0")
+      var v = v0
+      ensure(10)
+      while ((v & ~0x7FL) != 0L) {
+        buf(len) = ((v & 0x7F) | 0x80).toByte; len += 1; v >>>= 7
+      }
+      buf(len) = v.toByte; len += 1
+    }
+    def writeVInt(v: Int): Unit = writeVLong(v.toLong)
+    def toBytes: Array[Byte] = java.util.Arrays.copyOf(buf, len)
+  }
+
+  final class Input(bytes: Array[Byte], var pos: Int = 0) {
+    def hasMore: Boolean = pos < bytes.length
+    def readVLong(): Long = {
+      var shift = 0
+      var out = 0L
+      var b = 0L
+      do {
+        b = bytes(pos) & 0xFFL
+        out |= (b & 0x7F) << shift
+        shift += 7
+        pos += 1
+      } while ((b & 0x80) != 0)
+      out
+    }
+    def readVInt(): Int = readVLong().toInt
+  }
+
+  /** Encoded segment + block skip metadata. */
+  case class Segment(blob: Array[Byte], n: Int, firstDocId: Long,
+                     lastDocId: Long, cf: Long,
+                     blockFirst: Array[Long], blockOff: Array[Int],
+                     blockMaxTf: Array[Int], blockMinDl: Array[Int])
+
+  /** Encode postings (MUST be pre-sorted ascending by docId). */
+  def encode(postings: Iterator[Posting]): Segment = {
+    val out = new Output()
+    val bFirst = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val bOff = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val bMaxTf = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val bMinDl = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var prev = 0L
+    var n = 0
+    var first = -1L
+    var last = -1L
+    var cf = 0L
+    var curMaxTf = 0
+    var curMinDl = Int.MaxValue
+    postings.foreach { p =>
+      require(p.docId >= prev || n == 0,
+        s"postings not sorted: ${p.docId} after $prev")
+      if (n % BlockSize == 0) {
+        if (n > 0) { bMaxTf += curMaxTf; bMinDl += curMinDl }
+        bFirst += p.docId
+        bOff += out.size
+        curMaxTf = 0
+        curMinDl = Int.MaxValue
+      }
+      out.writeVLong(p.docId - prev)
+      out.writeVInt(p.tf)
+      out.writeVInt(p.dl)
+      out.writeVInt(p.positions.length)
+      var prevPos = 0
+      var i = 0
+      while (i < p.positions.length) {
+        out.writeVInt(p.positions(i) - prevPos)
+        prevPos = p.positions(i)
+        i += 1
+      }
+      if (n == 0) first = p.docId
+      last = p.docId
+      prev = p.docId
+      cf += p.tf
+      if (p.tf > curMaxTf) curMaxTf = p.tf
+      if (p.dl < curMinDl) curMinDl = p.dl
+      n += 1
+    }
+    if (n > 0) { bMaxTf += curMaxTf; bMinDl += curMinDl }
+    Segment(out.toBytes, n, first, last, cf, bFirst.toArray, bOff.toArray,
+      bMaxTf.toArray, bMinDl.toArray)
+  }
+
+  /** Decode a whole blob back to postings (ascending docId). */
+  def decode(blob: Array[Byte], n: Int): Iterator[Posting] = {
+    val in = new Input(blob)
+    var prev = 0L
+    Iterator.tabulate(n) { _ =>
+      val docId = prev + in.readVLong()
+      prev = docId
+      val tf = in.readVInt()
+      val dl = in.readVInt()
+      val np = in.readVInt()
+      val pos = new Array[Int](np)
+      var acc = 0
+      var i = 0
+      while (i < np) { acc += in.readVInt(); pos(i) = acc; i += 1 }
+      Posting(docId, tf, dl, pos)
+    }
+  }
+
+  /** Decode starting at a block boundary (for skip-based evaluation). */
+  def decodeBlock(blob: Array[Byte], off: Int, firstDocId: Long,
+                  count: Int): Iterator[Posting] = {
+    val in = new Input(blob, off)
+    var prev = firstDocId
+    var isFirst = true
+    Iterator.tabulate(count) { _ =>
+      val delta = in.readVLong()
+      val docId = if (isFirst) firstDocId else prev + delta
+      // first entry of a block still stores its full delta from the
+      // previous posting, so callers pass firstDocId from metadata
+      isFirst = false
+      prev = docId
+      val tf = in.readVInt()
+      val dl = in.readVInt()
+      val np = in.readVInt()
+      val pos = new Array[Int](np)
+      var acc = 0
+      var i = 0
+      while (i < np) { acc += in.readVInt(); pos(i) = acc; i += 1 }
+      Posting(docId, tf, dl, pos)
+    }
+  }
+}

@@ -1,0 +1,327 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Persistent index layout + staged, resumable build.
+  *
+  * Layout (Parquet tables in an Iceberg-style directory scheme — no Iceberg
+  * runtime jar ships in this sandbox, so snapshot/lineage is our own
+  * `_manifests/` JSON protocol behind this seam; see SURVEY.md §7):
+  *
+  *   out/
+  *     docmap/                  (url, docId)  — dense docIds by url order
+  *     postings/slice=i/        (term, field, docId, tf, dl, positions)
+  *     termstats/               (term, field, df, cf)
+  *     segments/field=f/tb=h/   (term, bucket, df, cf, n, firstDocId,
+  *                               lastDocId, blob, blockFirst, blockOff,
+  *                               blockMaxTf, blockMinDl)
+  *     docstats/                (docId, url, len_default, len_title, …)
+  *     collstats.json           per-field collection stats
+  *     _manifests/<stage>.json  committed stages with counters
+  *
+  * Resume: every stage (and every postings slice) commits a manifest entry
+  * AFTER its output is fully written; `build` skips committed work, so an
+  * interrupted build restarts without recomputing finished slices and the
+  * final index is identical (deterministic input + deterministic stages).
+  *
+  * Scale levers (north rule): postings never exist as token-level rows
+  * (per-doc local aggregation in one flatMap); heavy terms (df >
+  * heavyTermDf) are salted into docId-range buckets so no single segment
+  * row exceeds ~rangeSize postings — head-term skew (Zipf) cannot create a
+  * straggler reducer, and range bucketing keeps concatenated buckets
+  * docId-sorted for free. Point lookups prune on (field, tb) partition
+  * directories, tb = xxhash64(term) mod termBuckets.
+  */
+case class BuildConf(
+    numSlices: Int = 8,
+    heavyTermDf: Long = 100000L,
+    numBuckets: Int = 32,
+    termBuckets: Int = 64,
+    langFilter: Option[String] = Some("en"),
+    shufflePartitions: Int = 32)
+
+object IndexStore {
+
+  // ------------------------------------------------------------- manifests
+
+  private def manifestDir(out: String) = s"$out/_manifests"
+
+  def isCommitted(out: String, stage: String): Boolean =
+    Files.exists(Paths.get(manifestDir(out), s"$stage.json"))
+
+  def commit(out: String, stage: String, counters: Map[String, Long]): Unit = {
+    Files.createDirectories(Paths.get(manifestDir(out)))
+    val json = counters.map { case (k, v) => s""""$k": $v""" }
+      .mkString("{", ", ", s""", "stage": "$stage", "committedAtMs": ${System.currentTimeMillis()}}""")
+    val tmp = Paths.get(manifestDir(out), s".$stage.json.tmp")
+    Files.writeString(tmp, json)
+    // rename = atomic commit point
+    Files.move(tmp, Paths.get(manifestDir(out), s"$stage.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def readManifest(out: String, stage: String): Option[String] = {
+    val p = Paths.get(manifestDir(out), s"$stage.json")
+    if (Files.exists(p)) Some(Files.readString(p)) else None
+  }
+
+  // ---------------------------------------------------------------- stages
+
+  /** Dense docId assignment by global url order without a single-partition
+    * sort: range-repartition by url, sort within partitions, then add
+    * per-partition offsets (partition counts collected to the driver —
+    * one long per partition).
+    */
+  def assignDocIds(pages: DataFrame, partitions: Int): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val sorted = pages.select("url").repartitionByRange(partitions, col("url"))
+      .sortWithinPartitions("url")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sorted.select(org.apache.spark.sql.functions.spark_partition_id().as("pid"))
+      .groupBy("pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = new Array[Long](partitions)
+    var acc = 0L
+    (0 until partitions).foreach { p =>
+      offsets(p) = acc; acc += counts.getOrElse(p, 0L)
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val withIds = sorted.as[String].mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.get().partitionId()
+      var i = bc.value(pid)
+      it.map { url => val r = (url, i); i += 1; r }
+    }.toDF("url", "docId")
+    withIds
+  }
+
+  /** Pages (+docId) → per-field FieldDocs. Fields mirror the reference
+    * layout (default/title/body/url — yairs/io/FileUtils.scala:38-49);
+    * `default` is the full extracted text.
+    */
+  def fieldDocs(pagesWithId: DataFrame): Dataset[FieldDoc] = {
+    val spark = pagesWithId.sparkSession
+    import spark.implicits._
+    pagesWithId.select(col("docId"), col("text"), col("url"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, text, url) =>
+        val nl = text.indexOf('\n')
+        val (title, body) =
+          if (nl >= 0) (text.substring(0, nl), text.substring(nl + 1))
+          else (text, "")
+        Seq(
+          FieldDoc(id, "default", text),
+          FieldDoc(id, "title", title),
+          FieldDoc(id, "body", body),
+          FieldDoc(id, "url", url))
+      }
+  }
+
+  /** Full build. Each stage is skipped when already committed. */
+  def build(pages: DataFrame, out: String,
+            conf: BuildConf = BuildConf()): Unit = {
+    val spark = pages.sparkSession
+    Files.createDirectories(Paths.get(out))
+
+    val filtered = conf.langFilter
+      .map(l => pages.filter(col("lang") === l)).getOrElse(pages)
+
+    // stage 0: docmap ----------------------------------------------------
+    if (!isCommitted(out, "docmap")) {
+      val ids = assignDocIds(filtered, conf.shufflePartitions)
+      ids.write.mode(SaveMode.Overwrite).parquet(s"$out/docmap")
+      val n = spark.read.parquet(s"$out/docmap").count()
+      commit(out, "docmap", Map("docs" -> n))
+    }
+    val docmap = spark.read.parquet(s"$out/docmap")
+
+    // stage 1: postings, one resumable slice at a time -------------------
+    val sliceExpr = pmod(xxhash64(col("url")), lit(conf.numSlices))
+    (0 until conf.numSlices).foreach { i =>
+      val stage = s"postings-slice-$i"
+      if (!isCommitted(out, stage)) {
+        val slicePages = filtered.filter(sliceExpr === i)
+          .join(docmap, "url")
+        val posts = IndexBuilder.buildPostings(fieldDocs(slicePages))
+        posts.write.mode(SaveMode.Overwrite)
+          .parquet(s"$out/postings/slice=$i")
+        val written = spark.read.parquet(s"$out/postings/slice=$i")
+        val cnt = written.agg(
+          count(lit(1)).as("postings"),
+          countDistinct("docId").as("docs"),
+          sum("tf").cast("long").as("tokens")).collect()(0)
+        commit(out, stage, Map(
+          "postings" -> cnt.getLong(0), "docs" -> cnt.getLong(1),
+          "tokens" -> cnt.getLong(2)))
+      }
+    }
+    val postings = spark.read.parquet(s"$out/postings")
+
+    // stage 2: termstats --------------------------------------------------
+    if (!isCommitted(out, "termstats")) {
+      IndexBuilder.termStats(postings)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/termstats")
+      commit(out, "termstats",
+        Map("terms" -> spark.read.parquet(s"$out/termstats").count()))
+    }
+    val termstats = spark.read.parquet(s"$out/termstats")
+
+    // stage 3: segments (delta+VByte, salted for heavy terms) -------------
+    if (!isCommitted(out, "segments")) {
+      val totalDocs = docmap.count()
+      val rangeSize = math.max(1L, (totalDocs + conf.numBuckets - 1) / conf.numBuckets)
+      val heavy = termstats.filter(col("df") > conf.heavyTermDf)
+        .select("term", "field").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val bcHeavy = spark.sparkContext.broadcast(heavy)
+
+      import spark.implicits._
+      val bucketed = postings.as[PostingRow].map { p =>
+        val bucket =
+          if (bcHeavy.value.contains((p.term, p.field))) (p.docId / rangeSize).toInt
+          else -1
+        (p.term, p.field, bucket, p.docId, p.tf, p.dl, p.positions)
+      }.toDF("term", "field", "bucket", "docId", "tf", "dl", "positions")
+
+      val segRows = bucketed
+        .repartition(conf.shufflePartitions, col("term"), col("field"), col("bucket"))
+        .sortWithinPartitions("term", "field", "bucket", "docId")
+        .as[(String, String, Int, Long, Int, Int, Array[Int])]
+        .mapPartitions { (it: Iterator[(String, String, Int, Long, Int, Int, Array[Int])]) =>
+          // streaming run-length grouping over the partition-sorted stream
+          new Iterator[SegmentRow] {
+            private val in = it.buffered
+            def hasNext: Boolean = in.hasNext
+            def next(): SegmentRow = {
+              val (term, field, bucket, _, _, _, _) = in.head
+              val run = scala.collection.mutable.ArrayBuffer.empty[Posting]
+              while (in.hasNext && {
+                val h = in.head
+                h._1 == term && h._2 == field && h._3 == bucket
+              }) {
+                val (_, _, _, docId, tf, dl, pos) = in.next()
+                run += Posting(docId, tf, dl, pos)
+              }
+              val seg = Codec.encode(run.iterator)
+              SegmentRow(term, field, bucket, seg.n, seg.firstDocId,
+                seg.lastDocId, seg.cf, seg.blob, seg.blockFirst,
+                seg.blockOff, seg.blockMaxTf, seg.blockMinDl)
+            }
+          }
+        }.toDF()
+
+      segRows
+        .withColumn("tb", pmod(xxhash64(col("term")), lit(conf.termBuckets)))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("field", "tb")
+        .parquet(s"$out/segments")
+      val segCount = spark.read.parquet(s"$out/segments").count()
+      commit(out, "segments", Map("segments" -> segCount,
+        "rangeSize" -> rangeSize, "heavyTerms" -> heavy.size.toLong))
+    }
+
+    // stage 4: docstats + collstats ---------------------------------------
+    if (!isCommitted(out, "docstats")) {
+      val lens = postings.groupBy("docId", "field").agg(max("dl").as("dl"))
+        .groupBy("docId").pivot("field",
+          Seq("default", "title", "body", "url")).agg(first("dl"))
+        .na.fill(0)
+        .withColumnRenamed("default", "len_default")
+        .withColumnRenamed("title", "len_title")
+        .withColumnRenamed("body", "len_body")
+        .withColumnRenamed("url", "len_url")
+      lens.join(docmap, "docId")
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/docstats")
+      commit(out, "docstats",
+        Map("docs" -> spark.read.parquet(s"$out/docstats").count()))
+    }
+
+    if (!isCommitted(out, "collstats")) {
+      val perField = postings.groupBy("field").agg(
+        countDistinct("docId").as("docCount"),
+        countDistinct("term").as("vocabSize"),
+        sum("tf").cast("long").as("wordCount"))
+      val rows = perField.collect().map { r =>
+        val dc = r.getLong(1)
+        val wc = r.getLong(3)
+        s"""  "${r.getString(0)}": {"docCount": $dc, "vocabSize": ${r.getLong(2)}, "wordCount": $wc, "avgDocLen": ${if (dc == 0) 0.0 else wc.toDouble / dc}}"""
+      }
+      Files.writeString(Paths.get(out, "collstats.json"),
+        rows.mkString("{\n", ",\n", "\n}"))
+      commit(out, "collstats", Map("fields" -> rows.length.toLong))
+    }
+  }
+
+  // ----------------------------------------------------------------- reader
+
+  def open(spark: SparkSession, dir: String,
+           termBuckets: Int = 64): ParquetIndex =
+    new ParquetIndex(spark, dir, termBuckets)
+}
+
+/** One encoded posting segment of a (term, field, bucket). */
+case class SegmentRow(term: String, field: String, bucket: Int, n: Int,
+                      firstDocId: Long, lastDocId: Long, segCf: Long,
+                      blob: Array[Byte], blockFirst: Array[Long],
+                      blockOff: Array[Int], blockMaxTf: Array[Int],
+                      blockMinDl: Array[Int])
+
+/** SearchIndex over the persistent store: point lookups prune on
+  * (field, tb) directories, then decode segment blobs to posting rows.
+  */
+class ParquetIndex(spark: SparkSession, dir: String, termBuckets: Int)
+    extends SearchIndex {
+
+  private lazy val termstatsDf = spark.read.parquet(s"$dir/termstats")
+  lazy val segmentsDf: DataFrame = spark.read.parquet(s"$dir/segments")
+
+  private val statCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (Long, Long)]
+
+  lazy val collStats: CollStats = {
+    val json = Files.readString(Paths.get(dir, "collstats.json"))
+    // tiny fixed-shape JSON; parse the "default" object fields
+    def field(name: String, obj: String): String = {
+      val m = (s""""$name":\\s*([-0-9.eE]+)""").r.findFirstMatchIn(obj)
+      m.map(_.group(1)).getOrElse("0")
+    }
+    val defObj = ("\"default\":\\s*\\{([^}]*)}").r.findFirstMatchIn(json)
+      .map(_.group(1)).getOrElse("")
+    CollStats(
+      docCount = field("docCount", defObj).toDouble.toLong,
+      avgDocLen = field("avgDocLen", defObj).toDouble,
+      vocabSize = field("vocabSize", defObj).toDouble.toLong,
+      wordCount = field("wordCount", defObj).toDouble.toLong)
+  }
+
+  def segmentsOf(term: String, field: String): DataFrame = {
+    val tb = {
+      // same function as the writer: xxhash64(term) mod termBuckets
+      import spark.implicits._
+      Seq(term).toDF("term")
+        .select(pmod(xxhash64(col("term")), lit(termBuckets))).collect()(0).getLong(0)
+    }
+    segmentsDf.filter(col("field") === field && col("tb") === tb &&
+      col("term") === term)
+  }
+
+  def postings(term: String, field: String): DataFrame = {
+    import spark.implicits._
+    segmentsOf(term, field)
+      .select("bucket", "n", "blob").as[(Int, Int, Array[Byte])]
+      .flatMap { case (_, n, blob) => Codec.decode(blob, n) }
+      .toDF("docId", "tf", "dl", "positions")
+  }
+
+  def termStat(term: String, field: String): (Long, Long) =
+    statCache.getOrElseUpdate((term, field), {
+      val rows = termstatsDf
+        .filter(col("term") === term && col("field") === field)
+        .select("df", "cf").collect()
+      if (rows.isEmpty) (0L, 0L) else (rows(0).getLong(0), rows(0).getLong(1))
+    })
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.corpus.SyntheticCorpus
+import graft.index.Codec
+import graft.model.Posting
+
+class CorpusCodecSpec extends AnyFunSuite {
+  /** Deterministic property driver (no scalatest-scalacheck bridge in the
+    * offline dep set): sample the generator at fixed seeds. */
+  def forAll[T](gen: Gen[T], n: Int = 60)(body: T => Unit): Unit =
+    (1 to n).foreach { i =>
+      gen(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
+    }
+
+  // --- corpus -------------------------------------------------------------
+
+  test("extractText(html) is byte-identical to the text column (input_hint invariant)") {
+    (0L until 500L).foreach { i =>
+      val pg = SyntheticCorpus.page(i)
+      assert(SyntheticCorpus.extractText(pg.html) == pg.text, s"doc $i")
+    }
+  }
+
+  test("corpus is deterministic (same index → same page)") {
+    val p1 = SyntheticCorpus.page(12345L)
+    val p2 = SyntheticCorpus.page(12345L)
+    assert(p1.url == p2.url && p1.warc_ts == p2.warc_ts &&
+      p1.text == p2.text && p1.lang == p2.lang &&
+      p1.html.sameElements(p2.html))
+    val a = SyntheticCorpus.page(7L)
+    assert(a.url == "https://example.org/" + a.lang + "/00000007")
+  }
+
+  test("planted phrases are where FIXTURES.md says") {
+    val toks = SyntheticCorpus.bodyTokens(14L) // 14 % 7 == 0
+    assert(toks.slice(11, 14).sameElements(Array("obama", "family", "tree")))
+    val t2 = SyntheticCorpus.bodyTokens(22L) // 22 % 11 == 0, gap = 22%6+1 = 5
+    assert(t2(23) == "french" && t2(23 + 6) == "lick" && t2(23 + 12) == "resort")
+  }
+
+  test("zipf skew: head term df far exceeds tail") {
+    val dfs = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    (0L until 300L).foreach { i =>
+      SyntheticCorpus.bodyTokens(i).toSet.foreach((t: String) => dfs(t) += 1)
+    }
+    assert(dfs("w0") > 250)       // head term in nearly every doc
+    assert(dfs("w9000") < dfs("w0") / 4) // deep tail well below head
+  }
+
+  // --- codec --------------------------------------------------------------
+
+  val postingGen: Gen[List[Posting]] = for {
+    n <- Gen.choose(0, 300)
+    deltas <- Gen.listOfN(n, Gen.choose(1L, 1000L))
+    metas <- Gen.listOfN(n, for {
+      tf <- Gen.choose(1, 50)
+      dl <- Gen.choose(1, 5000)
+      np <- Gen.choose(0, 10)
+      pds <- Gen.listOfN(np, Gen.choose(1, 100))
+    } yield (tf, dl, pds))
+  } yield {
+    val ids = deltas.scanLeft(0L)(_ + _).tail
+    ids.zip(metas).map { case (id, (tf, dl, pds)) =>
+      Posting(id, tf, dl, pds.scanLeft(0)(_ + _).tail.toArray)
+    }
+  }
+
+  test("vbyte+delta roundtrip: decode(encode(x)) == x") {
+    forAll(postingGen) { ps =>
+      val seg = Codec.encode(ps.iterator)
+      val back = Codec.decode(seg.blob, seg.n).toList
+      assert(back.length == ps.length)
+      back.zip(ps).foreach { case (a, b) =>
+        assert(a.docId == b.docId && a.tf == b.tf && a.dl == b.dl)
+        assert(a.positions.sameElements(b.positions))
+      }
+      assert(seg.cf == ps.map(_.tf.toLong).sum)
+      if (ps.nonEmpty) {
+        assert(seg.firstDocId == ps.head.docId)
+        assert(seg.lastDocId == ps.last.docId)
+        // block metadata invariants
+        assert(seg.blockFirst.length == (ps.length + Codec.BlockSize - 1) / Codec.BlockSize)
+        ps.grouped(Codec.BlockSize).zipWithIndex.foreach { case (blk, bi) =>
+          assert(seg.blockFirst(bi) == blk.head.docId)
+          assert(seg.blockMaxTf(bi) == blk.map(_.tf).max)
+          assert(seg.blockMinDl(bi) == blk.map(_.dl).min)
+        }
+      }
+    }
+  }
+
+  test("block decode from offsets matches full decode") {
+    forAll(postingGen.suchThat(_.length > Codec.BlockSize)) { ps =>
+      val seg = Codec.encode(ps.iterator)
+      val full = Codec.decode(seg.blob, seg.n).toList
+      seg.blockOff.indices.foreach { bi =>
+        val count = math.min(Codec.BlockSize, seg.n - bi * Codec.BlockSize)
+        val blk = Codec.decodeBlock(seg.blob, seg.blockOff(bi),
+          seg.blockFirst(bi), count).toList
+        assert(blk.map(_.docId) ==
+          full.slice(bi * Codec.BlockSize, bi * Codec.BlockSize + count).map(_.docId))
+      }
+    }
+  }
+
+  test("tokenizer matches duckdb regex semantics") {
+    import graft.analysis.Tokenizer
+    assert(Tokenizer.tokenize("Hello, World-42!").toList ==
+      List("hello", "world", "42"))
+    assert(Tokenizer.tokenize("").isEmpty)
+    assert(Tokenizer.tokenize("...").isEmpty)
+    assert(Tokenizer.tokenize("a  b\nc\td").toList == List("a", "b", "c", "d"))
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.corpus.SyntheticCorpus
+import graft.index.{FieldDoc, IndexBuilder}
+import graft.oracle.RefOracle
+import graft.query._
+
+/** Rank-identity gate: the Spark engine must match the single-threaded
+  * reference-semantics oracle on a synthetic corpus, for every model and
+  * operator — top-k docIds rank-identical, scores equal to 1e-9.
+  */
+class EngineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val NumDocs = 300
+
+  lazy val fieldDocTriples: Seq[(Long, String, String)] =
+    (0L until NumDocs).flatMap { i =>
+      val pg = SyntheticCorpus.page(i)
+      val nl = pg.text.indexOf('\n')
+      val (title, body) = (pg.text.substring(0, nl), pg.text.substring(nl + 1))
+      Seq((i, "default", pg.text), (i, "title", title), (i, "body", body))
+    }
+
+  lazy val index: graft.index.DfIndex = {
+    import spark.implicits._
+    val fd = spark.createDataset(
+      fieldDocTriples.map { case (i, f, t) => FieldDoc(i, f, t) })
+    IndexBuilder.inMemory(IndexBuilder.buildPostings(fd))
+  }
+
+  lazy val oracleIndex = RefOracle.buildIndex(fieldDocTriples)
+  lazy val oracleColl = RefOracle.collStats(oracleIndex)
+
+  def check(model: Model, defaultOp: QOp.Value, queries: Seq[String],
+            k: Int = 50): Unit = {
+    val parser = new QueryParser(defaultOp = defaultOp)
+    val engine = new Engine(index, model)
+    val oracle = new RefOracle(oracleIndex, oracleColl, model)
+    queries.foreach { q =>
+      val expected = oracle.search(q, k, parser)
+      val got = engine.search(q, k, parser).collect()
+        .sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Long]("docId"), r.getAs[Double]("score"))).toList
+      assert(got.length == expected.length,
+        s"[$model] '$q': ${got.length} rows vs oracle ${expected.length}")
+      got.zip(expected).zipWithIndex.foreach { case (((gd, gs), (ed, es)), i) =>
+        assert(gd == ed,
+          s"[$model] '$q' rank ${i + 1}: docId $gd vs oracle $ed (got=$got expected=$expected)")
+        assert(math.abs(gs - es) <= 1e-9 * math.max(1.0, math.abs(es)),
+          s"[$model] '$q' rank ${i + 1}: score $gs vs oracle $es")
+      }
+    }
+  }
+
+  // engine and oracle stats computed through different code paths
+  test("collection stats agree") {
+    assert(index.collStats == oracleColl)
+  }
+
+  val bowQueries = Seq(
+    "obama family tree",
+    "french lick resort",
+    "w0 w1 w2",
+    "w17 w333 obama",
+    "w4",
+    "zzzmissing w0",
+    "the obama about family") // stopword pruning
+
+  val structuredCommon = Seq(
+    "#near/1(obama family)",
+    "#near/2(family tree)",
+    "#near/0(obama family)",
+    "#near/6(french lick)",
+    "#near/2(w0 w1)",
+    "#near/3(obama zzzmissing)",
+    "#uw/2(obama family)",
+    "#uw/6(obama family tree)",
+    "#uw/8(french resort)",
+    "#uw/1(w0)",
+    "#and(obama #near/2 (family tree))", // childless-NEAR parser quirk
+    "#and(#near/2(family tree) obama)",
+    "#and(obama family)",
+    "#near/2(#and(obama family) tree)") // positional over merged: empty
+
+  test("BM25 matches oracle") {
+    check(BM25(), QOp.SUM, bowQueries ++ structuredCommon ++ Seq(
+      "#sum(obama family tree)",
+      "#sum(obama+title family+body)",
+      "#and(w0+title w1+title)",
+      "#sum(w1 w1 w1)")) // duplicate children
+  }
+
+  test("Indri matches oracle") {
+    check(Indri(), QOp.AND, bowQueries ++ structuredCommon ++ Seq(
+      "#weight(0.5 obama 0.4 family 0.1 tree)",
+      "#weight(0.7 #and(obama family) 0.3 tree)",
+      "#weight(0.8 the 0.2 obama)", // stop child → weight misalignment quirk
+      "#weight( 0.8 #and( obama family tree ) 0.1 #and( #near/3( family tree )  #near/3( obama family ) ) 0.1 #and( #uw/6( family tree )  #uw/6( obama family ) ) )",
+      "#weight(0.6 #uw/4(zzzmissing obama) 0.4 family)")) // empty-UW default rule
+  }
+
+  test("Boolean ranked matches oracle") {
+    check(Bool(ranked = true), QOp.OR, bowQueries ++ Seq(
+      "#and(obama family tree)",
+      "#or(obama family tree)",
+      "#or(#and(obama family) tree)",
+      "#and(w0 w1 w2 w3)",
+      "#near/2(obama family)",
+      "#and(obama zzzmissing)",
+      "#or(obama zzzmissing)"))
+  }
+
+  test("Boolean unranked matches oracle") {
+    check(Bool(ranked = false), QOp.OR, Seq(
+      "obama family", "#and(obama family)", "#near/1(obama family)"))
+  }
+
+  test("Indri scorer MIN_VALUE rule for zero-weight") {
+    val s = new Scorer(Indri(), oracleColl)
+    assert(s.termScore(0, 0, 0, 100.0) == Integer.MIN_VALUE.toDouble)
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.corpus.SyntheticCorpus
+import graft.index._
+import graft.query._
+import java.nio.file.{Files, Paths}
+
+/** Persistent store: build → read-back equivalence with the in-memory
+  * index, checkpoint/resume semantics, and manifest counters.
+  */
+class StoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val NumDocs = 400L
+  lazy val outDir: String = {
+    val dir = Files.createTempDirectory("graft-store").toString
+    val pages = SyntheticCorpus.pages(spark, NumDocs, 8).toDF()
+    IndexStore.build(pages, dir,
+      BuildConf(numSlices = 4, heavyTermDf = 50, numBuckets = 4,
+        termBuckets = 16, shufflePartitions = 8))
+    dir
+  }
+  lazy val pIndex: ParquetIndex = IndexStore.open(spark, outDir, 16)
+
+  /** In-memory index over the same (lang=en) pages for cross-checking. */
+  lazy val memIndex: DfIndex = {
+    val pages = SyntheticCorpus.pages(spark, NumDocs, 8).toDF()
+      .filter(col("lang") === "en")
+    val docmap = spark.read.parquet(s"$outDir/docmap")
+    IndexBuilder.inMemory(
+      IndexBuilder.buildPostings(IndexStore.fieldDocs(pages.join(docmap, "url"))))
+  }
+
+  test("stats match in-memory build") {
+    assert(pIndex.collStats == memIndex.collStats)
+    Seq(("w0", "default"), ("obama", "default"), ("w123", "title"),
+      ("zzz", "default")).foreach { case (t, f) =>
+      assert(pIndex.termStat(t, f) == memIndex.termStat(t, f), s"($t,$f)")
+    }
+  }
+
+  test("decoded postings match in-memory postings (incl. salted heavy terms)") {
+    Seq("w0", "w1", "obama", "w777").foreach { t =>
+      val a = pIndex.postings(t, "default")
+        .orderBy("docId").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getSeq[Int](3).toList))
+      val b = memIndex.postings(t, "default")
+        .orderBy("docId").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getSeq[Int](3).toList))
+      assert(a.length == b.length, s"term $t: ${a.length} vs ${b.length}")
+      a.zip(b).foreach { case (x, y) => assert(x == y, s"term $t") }
+    }
+  }
+
+  test("heavy terms are salted into multiple segments") {
+    val segs = pIndex.segmentsOf("w0", "default").collect()
+    assert(segs.length > 1, "w0 should be df-heavy and range-bucketed")
+    // buckets are docId ranges: non-overlapping and ordered
+    val ranges = segs.map(r => (r.getAs[Long]("firstDocId"),
+      r.getAs[Long]("lastDocId"))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, l1), (f2, _)) => assert(l1 < f2)
+      case _ =>
+    }
+  }
+
+  test("query over ParquetIndex matches query over in-memory index") {
+    val parser = new QueryParser(defaultOp = QOp.SUM)
+    val eP = new Engine(pIndex, BM25())
+    val eM = new Engine(memIndex, BM25())
+    Seq("obama family tree", "w0 w1", "#near/2(obama family)").foreach { q =>
+      val a = eP.search(q, 20, parser).collect()
+        .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toList
+      val b = eM.search(q, 20, parser).collect()
+        .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toList
+      assert(a == b, s"'$q'")
+    }
+  }
+
+  test("manifests carry counters and all stages commit") {
+    val stages = Seq("docmap", "termstats", "segments", "docstats",
+      "collstats") ++ (0 until 4).map(i => s"postings-slice-$i")
+    stages.foreach(s => assert(IndexStore.isCommitted(outDir, s), s))
+    val m = IndexStore.readManifest(outDir, "postings-slice-0").get
+    assert(m.contains("\"postings\"") && m.contains("\"docs\"") &&
+      m.contains("\"tokens\""))
+  }
+
+  test("resume skips committed slices and reproduces identical output") {
+    outDir // force build
+    // wipe one slice's manifest + output: rebuild must redo ONLY that work
+    val victim = s"$outDir/_manifests/postings-slice-2.json"
+    val before = Files.getLastModifiedTime(
+      Paths.get(s"$outDir/_manifests/postings-slice-1.json"))
+    val sliceCountBefore = spark.read
+      .parquet(s"$outDir/postings/slice=2").count()
+    Files.delete(Paths.get(victim))
+    val pages = SyntheticCorpus.pages(spark, NumDocs, 8).toDF()
+    IndexStore.build(pages, outDir,
+      BuildConf(numSlices = 4, heavyTermDf = 50, numBuckets = 4,
+        termBuckets = 16, shufflePartitions = 8))
+    // untouched slice not recomputed (manifest mtime unchanged)
+    assert(Files.getLastModifiedTime(
+      Paths.get(s"$outDir/_manifests/postings-slice-1.json")) == before)
+    // recomputed slice identical (deterministic)
+    assert(spark.read.parquet(s"$outDir/postings/slice=2").count() ==
+      sliceCountBefore)
+    assert(IndexStore.isCommitted(outDir, "postings-slice-2"))
+  }
+}
