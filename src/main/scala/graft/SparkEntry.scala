@@ -9,7 +9,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   */
 object SparkEntry {
   private def gateQueries: Seq[gate.GateQuery] =
-    gate.IrQueries.all
+    gate.IrQueries.all ++ gate.OpsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * BM25 top-20 over the documents table.

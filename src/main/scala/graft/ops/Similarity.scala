@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.corpus.SyntheticCorpus.mix
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) query
+  * set against a full scan of the corpus vectors; the dot product is a
+  * `zip_with`/`aggregate` higher-order expression (codegen, no UDF), and
+  * top-k per query is a window row_number (at real scale: TakeOrdered per
+  * query id after a repartition by query).
+  *
+  * Scale path: random-hyperplane LSH — each vector hashed to a `nBits`
+  * sign bucket; candidate pairs/neighbor lookups only touch same-bucket
+  * vectors (multi-probe = flip one bit). Hyperplanes are deterministic
+  * from splitmix64, so signatures are reproducible anywhere.
+  */
+object Similarity {
+
+  /** Cosine similarity between two float-array columns, in double. */
+  def cosineCol(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double")))
+    dot / (na * nb)
+  }
+
+  /** Brute-force cosine top-k: for each query vector (vec_id in queryIds),
+    * the k nearest other vectors. Ties break by neighbor id ascending.
+    */
+  def bruteTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val queries = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val joined = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosineCol(col("qvec"), col("embedding")), 6).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic random-hyperplane sign signatures: `nTables`
+    * independent hash tables of `nBits` bits each (multi-table LSH — the
+    * standard recall lever: a true neighbor is a candidate if it collides
+    * in ANY table). One row per (vec_id, table) with its bucket.
+    */
+  def lshBuckets(emb: DataFrame, nBits: Int = 12, nTables: Int = 4,
+                 seed: Long = 5L): DataFrame = {
+    val sigUdf = udf { (v: Seq[Float]) =>
+      (0 until nTables).map { t =>
+        var bucket = 0
+        var b = 0
+        while (b < nBits) {
+          var dot = 0.0
+          var i = 0
+          while (i < v.length) {
+            // hyperplane coefficient ~ U(-1,1), pinned by (seed, table, bit, dim)
+            val h = mix(seed * 1000003L + (t.toLong * 64 + b) * 131 + i)
+            dot += v(i) * (((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0)
+            i += 1
+          }
+          if (dot >= 0) bucket |= (1 << b)
+          b += 1
+        }
+        bucket
+      }
+    }
+    emb.withColumn("sigs", sigUdf(col("embedding")))
+      .select(col("*"), posexplode(col("sigs")))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+      .drop("sigs")
+  }
+
+  /** LSH-bucketed ANN: candidates = union of same-(table, bucket)
+    * collisions across tables, ranked by exact cosine — the approximate
+    * counterpart of bruteTopK (recall measured in tests).
+    */
+  def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+              nBits: Int = 12, nTables: Int = 4): DataFrame = {
+    val bucketed = lshBuckets(emb, nBits, nTables)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val queries = bucketed.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("table").as("qtable"), col("bucket").as("qbucket"))
+    val joined = bucketed.join(broadcast(queries),
+        col("table") === col("qtable") && col("bucket") === col("qbucket") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosineCol(col("qvec"), col("embedding")), 6).as("cosine"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
+    * Exact variant pairs everything (small inputs / verification); the
+    * scalable variant restricts to LSH-bucket collisions first.
+    */
+  def embeddingDups(emb: DataFrame, threshold: Double,
+                    useLsh: Boolean = false, nBits: Int = 8): DataFrame = {
+    val pairs =
+      if (useLsh) {
+        val b = lshBuckets(emb, nBits)
+        b.as("a").join(b.as("b"),
+            col("a.table") === col("b.table") &&
+              col("a.bucket") === col("b.bucket") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("id_a"), col("a.embedding").as("emb_a"),
+            col("b.vec_id").as("id_b"), col("b.embedding").as("emb_b"))
+          .dropDuplicates("id_a", "id_b")
+      } else {
+        emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+          .join(emb.select(col("vec_id").as("id_b"),
+            col("embedding").as("emb_b")), col("id_a") < col("id_b"))
+      }
+    pairs.select(col("id_a"), col("id_b"),
+        round(cosineCol(col("emb_a"), col("emb_b")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

