@@ -1,24 +1,168 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.corpus.SyntheticCorpus
+import graft.index.{BuildConf, IndexStore}
+import graft.query._
+
+/** Benchmark main — emits ONE JSON line with:
+  *
+  *  - index-build throughput (docs/sec) at two parallelism levels
+  *    (local[lo] vs local[hi], the sandbox stand-in for N vs 4N executors
+  *    per BASELINE.md) with per-level JIT warm-up and best-of-2 timing,
+  *  - a hardware calibration factor: this box loses per-thread CPU
+  *    throughput going lo→hi threads even on a pure register-only loop
+  *    (host contention / memory bandwidth — measured, not assumed), so the
+  *    JSON reports both raw scaling efficiency and the efficiency
+  *    normalized by what the hardware itself can deliver,
+  *  - BM25 top-10 query latency p50 (exact union+groupBy path and
+  *    block-max WAND path, 30 bag-of-words queries),
+  *  - per-gate-query wall times on SPARK_GRAFT_SF_DIR.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      // intermediate postings parquet must re-split fine enough to feed
+      // all cores — the 128m default caps downstream stages at a handful
+      // of read tasks regardless of parallelism
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      // a single box has ONE disk; a 4N cluster has 4N local SSDs. Shuffle
+      // and scratch stores go to tmpfs so the scaling measurement isolates
+      // compute (per-executor storage scales with the cluster; the one
+      // shared disk here would not).
+      .config("spark.local.dir", scratch("shuffle"))
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Scratch space on tmpfs when available (see session scaladoc). */
+  private def scratch(name: String): String = {
+    val base = if (java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get("/dev/shm"))) "/dev/shm/graft-bench"
+    else System.getProperty("java.io.tmpdir") + "/graft-bench"
+    val p = java.nio.file.Paths.get(base, name)
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
+  private def buildConf(cpus: Int) = BuildConf(
+    numSlices = 1, heavyTermDf = 2000, numBuckets = math.max(8, cpus),
+    termBuckets = 32, shufflePartitions = cpus)
+
+  private def timedBuild(spark: SparkSession, cpus: Int, numDocs: Long): Double = {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(scratch("stores")), s"b$cpus-").toString
+    val pages = SyntheticCorpus.pages(spark, numDocs, cpus * 2).toDF()
+    val t0 = System.nanoTime()
+    IndexStore.build(pages, dir, buildConf(cpus))
+    numDocs / ((System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Best-of-2 build throughput at `cpus`, after a JIT warm-up build. */
+  private def buildThroughput(cpus: Int, numDocs: Long): Double = {
+    val spark = session(cpus)
+    timedBuild(spark, cpus, math.max(4000L, numDocs / 10)) // warm-up
+    val best = math.max(timedBuild(spark, cpus, numDocs),
+      timedBuild(spark, cpus, numDocs))
+    spark.stop()
+    best
+  }
+
+  /** Pure-CPU calibration: aggregate splitmix64 throughput with `threads`
+    * spinning threads. Measures what the HARDWARE gives lo→hi threads,
+    * independent of Spark — the upper bound on any job-level speedup.
+    */
+  private def cpuCalibration(threads: Int, iters: Long = 200000000L): Double = {
+    val totals = new java.util.concurrent.atomic.AtomicLong()
+    val ts = (0 until threads).map { t =>
+      new Thread(() => {
+        var x = t.toLong + 1
+        var i = 0L
+        while (i < iters) { x = SyntheticCorpus.mix(x); i += 1 }
+        totals.addAndGet(if (x == 42) 1 else iters)
+      })
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val t0 = System.nanoTime()
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    totals.get.toDouble / ((System.nanoTime() - t0) / 1e9)
+  }
+
+  private val benchQueries: Seq[String] =
+    Seq("obama family tree", "french lick resort", "w0 w12 w7") ++
+      (0 until 27).map(i => s"w${i * 3} w${i * 7 + 1} w${(i * 131) % 2000}")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val hi = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val lo = math.max(2, hi / 4)
+    val numDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "120000").toLong
+
+    // --- hardware calibration (after a warm-up round) ---------------------
+    cpuCalibration(lo, 50000000L)
+    val calLo = cpuCalibration(lo)
+    val calHi = cpuCalibration(hi)
+    val hwFactor = (calHi / calLo) / (hi.toDouble / lo) // ≤ 1: HW ceiling
+
+    // --- index-build scaling: lo then hi (fresh session + store each) ----
+    val thruLo = buildThroughput(lo, numDocs)
+    val thruHi = buildThroughput(hi, numDocs)
+    val efficiency = (thruHi / thruLo) / (hi.toDouble / lo)
+    val efficiencyNorm = if (hwFactor > 0) efficiency / hwFactor else efficiency
+
+    // --- query latency over a persistent index at hi parallelism ---------
+    val spark = session(hi)
+    val qDir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(scratch("stores")), "q-").toString
+    IndexStore.build(SyntheticCorpus.pages(spark, numDocs, hi * 2).toDF(),
+      qDir, buildConf(hi))
+    val idx = IndexStore.open(spark, qDir, 32)
+    val parser = new QueryParser(defaultOp = QOp.SUM)
+    val engine = new Engine(idx, BM25())
+
+    def p50(times: Seq[Double]): Double = {
+      val s = times.sorted
+      s(s.length / 2)
+    }
+    engine.search(benchQueries.head, 10, parser).collect() // warm-up
+    val exactTimes = benchQueries.map { q =>
+      val t0 = System.nanoTime()
+      engine.search(q, 10, parser).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    Wand.bm25TopK(spark, idx, Seq("obama", "family"), "default", 10).collect()
+    val wandTimes = benchQueries.map { q =>
+      val terms = q.split(' ').toSeq
+      val t0 = System.nanoTime()
+      Wand.bm25TopK(spark, idx, terms, "default", 10).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // --- gate queries on the sf tables ------------------------------------
+    val gateTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+      catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+
+    val qs = gateTimes.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = gateTimes.map(_._2).filter(_ >= 0).sum
+    // free tmpfs scratch
+    try {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(scratch("stores"))).deleteRecursively()
+    } catch { case _: Throwable => }
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","index_build":{"docs":$numDocs,"thru_lo_docs_per_sec":$thruLo%.1f,"thru_hi_docs_per_sec":$thruHi%.1f,"cpus_lo":$lo,"cpus_hi":$hi,"scaling_efficiency":$efficiency%.3f,"hw_cpu_scaling_factor":$hwFactor%.3f,"scaling_efficiency_hw_normalized":$efficiencyNorm%.3f},"bm25_top10_p50_sec":{"exact":${p50(exactTimes)}%.3f,"wand":${p50(wandTimes)}%.3f}}""")
     spark.stop()
   }
 }

@@ -37,6 +37,11 @@ object Codec {
       buf(len) = v.toByte; len += 1
     }
     def writeVInt(v: Int): Unit = writeVLong(v.toLong)
+    def writeBytes(bytes: Array[Byte]): Unit = {
+      ensure(bytes.length)
+      System.arraycopy(bytes, 0, buf, len, bytes.length)
+      len += bytes.length
+    }
     def toBytes: Array[Byte] = java.util.Arrays.copyOf(buf, len)
   }
 
@@ -57,11 +62,76 @@ object Codec {
     def readVInt(): Int = readVLong().toInt
   }
 
+  /** Varint-encode a positions array as (count, deltas) — the per-posting
+    * tail of the blob format, precomputable at tokenize time so the
+    * segment sort/encode stage never materializes position arrays.
+    */
+  def encodePositions(positions: Array[Int]): Array[Byte] = {
+    val out = new Output(4 + positions.length * 2)
+    out.writeVInt(positions.length)
+    var prev = 0
+    var i = 0
+    while (i < positions.length) {
+      out.writeVInt(positions(i) - prev)
+      prev = positions(i)
+      i += 1
+    }
+    out.toBytes
+  }
+
   /** Encoded segment + block skip metadata. */
   case class Segment(blob: Array[Byte], n: Int, firstDocId: Long,
                      lastDocId: Long, cf: Long,
                      blockFirst: Array[Long], blockOff: Array[Int],
                      blockMaxTf: Array[Int], blockMinDl: Array[Int])
+
+  /** Streaming segment encoder over pre-sorted (docId, tf, dl,
+    * positions-rec) primitives — the allocation-free fast path of the
+    * index build: the positions tail arrives pre-encoded (encodePositions)
+    * and is copied verbatim, so the sort/encode stage touches no arrays.
+    * Produces byte-identical blobs to `encode`.
+    */
+  final class SegmentEncoder {
+    private val out = new Output(1 << 14)
+    private val bFirst = scala.collection.mutable.ArrayBuffer.empty[Long]
+    private val bOff = scala.collection.mutable.ArrayBuffer.empty[Int]
+    private val bMaxTf = scala.collection.mutable.ArrayBuffer.empty[Int]
+    private val bMinDl = scala.collection.mutable.ArrayBuffer.empty[Int]
+    private var prev = 0L
+    private var n = 0
+    private var first = -1L
+    private var last = -1L
+    private var cf = 0L
+    private var curMaxTf = 0
+    private var curMinDl = Int.MaxValue
+
+    def add(docId: Long, tf: Int, dl: Int, rec: Array[Byte]): Unit = {
+      if (n % BlockSize == 0) {
+        if (n > 0) { bMaxTf += curMaxTf; bMinDl += curMinDl }
+        bFirst += docId
+        bOff += out.size
+        curMaxTf = 0
+        curMinDl = Int.MaxValue
+      }
+      out.writeVLong(docId - prev)
+      out.writeVInt(tf)
+      out.writeVInt(dl)
+      out.writeBytes(rec)
+      if (n == 0) first = docId
+      last = docId
+      prev = docId
+      cf += tf
+      if (tf > curMaxTf) curMaxTf = tf
+      if (dl < curMinDl) curMinDl = dl
+      n += 1
+    }
+
+    def finish(): Segment = {
+      if (n > 0) { bMaxTf += curMaxTf; bMinDl += curMinDl }
+      Segment(out.toBytes, n, first, last, cf, bFirst.toArray, bOff.toArray,
+        bMaxTf.toArray, bMinDl.toArray)
+    }
+  }
 
   /** Encode postings (MUST be pre-sorted ascending by docId). */
   def encode(postings: Iterator[Posting]): Segment = {

@@ -79,7 +79,11 @@ object IndexStore {
   def assignDocIds(pages: DataFrame, partitions: Int): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
-    val sorted = pages.select("url").repartitionByRange(partitions, col("url"))
+    // cache the url projection: repartitionByRange samples its input, so
+    // an uncached plan would scan (or regenerate) the corpus twice
+    val urls = pages.select("url")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sorted = urls.repartitionByRange(partitions, col("url"))
       .sortWithinPartitions("url")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sorted.select(org.apache.spark.sql.functions.spark_partition_id().as("pid"))
@@ -126,6 +130,14 @@ object IndexStore {
             conf: BuildConf = BuildConf()): Unit = {
     val spark = pages.sparkSession
     Files.createDirectories(Paths.get(out))
+    val tStart = System.nanoTime()
+    var tLast = tStart
+    def mark(stage: String): Unit = {
+      val now = System.nanoTime()
+      if (sys.env.contains("GRAFT_BUILD_TIMING"))
+        println(f"[build] $stage%-24s ${(now - tLast) / 1e9}%7.2fs  (total ${(now - tStart) / 1e9}%7.2fs)")
+      tLast = now
+    }
 
     val filtered = conf.langFilter
       .map(l => pages.filter(col("lang") === l)).getOrElse(pages)
@@ -137,6 +149,7 @@ object IndexStore {
       val n = spark.read.parquet(s"$out/docmap").count()
       commit(out, "docmap", Map("docs" -> n))
     }
+    mark("docmap")
     val docmap = spark.read.parquet(s"$out/docmap")
 
     // stage 1: postings, one resumable slice at a time -------------------
@@ -146,18 +159,22 @@ object IndexStore {
       if (!isCommitted(out, stage)) {
         val slicePages = filtered.filter(sliceExpr === i)
           .join(docmap, "url")
-        val posts = IndexBuilder.buildPostings(fieldDocs(slicePages))
-        posts.write.mode(SaveMode.Overwrite)
+        // counters ride the write itself (Observation = zero extra pass)
+        val obs = org.apache.spark.sql.Observation(s"slice-$i")
+        IndexBuilder.buildPostingsEncoded(fieldDocs(slicePages))
+          .observe(obs,
+            count(lit(1)).as("postings"),
+            sum(col("tf")).cast("long").as("tokens"),
+            approx_count_distinct(col("docId")).as("docsApprox"))
+          .write.mode(SaveMode.Overwrite)
           .parquet(s"$out/postings/slice=$i")
-        val written = spark.read.parquet(s"$out/postings/slice=$i")
-        val cnt = written.agg(
-          count(lit(1)).as("postings"),
-          countDistinct("docId").as("docs"),
-          sum("tf").cast("long").as("tokens")).collect()(0)
+        val m = obs.get
         commit(out, stage, Map(
-          "postings" -> cnt.getLong(0), "docs" -> cnt.getLong(1),
-          "tokens" -> cnt.getLong(2)))
+          "postings" -> m("postings").asInstanceOf[Long],
+          "tokens" -> m("tokens").asInstanceOf[Long],
+          "docsApprox" -> m("docsApprox").asInstanceOf[Long]))
       }
+      mark(stage)
     }
     val postings = spark.read.parquet(s"$out/postings")
 
@@ -168,45 +185,48 @@ object IndexStore {
       commit(out, "termstats",
         Map("terms" -> spark.read.parquet(s"$out/termstats").count()))
     }
+    mark("termstats")
     val termstats = spark.read.parquet(s"$out/termstats")
 
     // stage 3: segments (delta+VByte, salted for heavy terms) -------------
     if (!isCommitted(out, "segments")) {
       val totalDocs = docmap.count()
       val rangeSize = math.max(1L, (totalDocs + conf.numBuckets - 1) / conf.numBuckets)
-      val heavy = termstats.filter(col("df") > conf.heavyTermDf)
+      // heavy (term, field) pairs are few (vocab head) — fold them into a
+      // codegen'd InSet test; no typed deserialization on the 10⁸-row path
+      val heavyKeys = termstats.filter(col("df") > conf.heavyTermDf)
         .select("term", "field").collect()
-        .map(r => (r.getString(0), r.getString(1))).toSet
-      val bcHeavy = spark.sparkContext.broadcast(heavy)
+        .map(r => r.getString(0) + "\u0000" + r.getString(1)).toSeq
+      val bucketCol =
+        if (heavyKeys.isEmpty) lit(-1)
+        else when(concat_ws("\u0000", col("term"), col("field"))
+          .isin(heavyKeys: _*),
+          (col("docId") / rangeSize).cast("int")).otherwise(lit(-1))
 
       import spark.implicits._
-      val bucketed = postings.as[PostingRow].map { p =>
-        val bucket =
-          if (bcHeavy.value.contains((p.term, p.field))) (p.docId / rangeSize).toInt
-          else -1
-        (p.term, p.field, bucket, p.docId, p.tf, p.dl, p.positions)
-      }.toDF("term", "field", "bucket", "docId", "tf", "dl", "positions")
-
-      val segRows = bucketed
+      val segRows = postings
+        .withColumn("bucket", bucketCol)
         .repartition(conf.shufflePartitions, col("term"), col("field"), col("bucket"))
         .sortWithinPartitions("term", "field", "bucket", "docId")
-        .as[(String, String, Int, Long, Int, Int, Array[Int])]
-        .mapPartitions { (it: Iterator[(String, String, Int, Long, Int, Int, Array[Int])]) =>
-          // streaming run-length grouping over the partition-sorted stream
+        .select("term", "field", "bucket", "docId", "tf", "dl", "rec")
+        .as[(String, String, Int, Long, Int, Int, Array[Byte])]
+        .mapPartitions { (it: Iterator[(String, String, Int, Long, Int, Int, Array[Byte])]) =>
+          // streaming run-length grouping over the partition-sorted stream;
+          // positions arrive pre-encoded (rec) — pure byte concatenation
           new Iterator[SegmentRow] {
             private val in = it.buffered
             def hasNext: Boolean = in.hasNext
             def next(): SegmentRow = {
               val (term, field, bucket, _, _, _, _) = in.head
-              val run = scala.collection.mutable.ArrayBuffer.empty[Posting]
+              val enc = new Codec.SegmentEncoder
               while (in.hasNext && {
                 val h = in.head
                 h._1 == term && h._2 == field && h._3 == bucket
               }) {
-                val (_, _, _, docId, tf, dl, pos) = in.next()
-                run += Posting(docId, tf, dl, pos)
+                val (_, _, _, docId, tf, dl, rec) = in.next()
+                enc.add(docId, tf, dl, rec)
               }
-              val seg = Codec.encode(run.iterator)
+              val seg = enc.finish()
               SegmentRow(term, field, bucket, seg.n, seg.firstDocId,
                 seg.lastDocId, seg.cf, seg.blob, seg.blockFirst,
                 seg.blockOff, seg.blockMaxTf, seg.blockMinDl)
@@ -214,46 +234,66 @@ object IndexStore {
           }
         }.toDF()
 
+      // second (cheap) shuffle moves ENCODED rows so each (field, tb)
+      // directory is written by exactly one task — a direct partitionBy
+      // write from the encode tasks would open |field|x|tb| writers per
+      // task and shatter the store into thousands of tiny files
+      val obs = org.apache.spark.sql.Observation("segments")
       segRows
         .withColumn("tb", pmod(xxhash64(col("term")), lit(conf.termBuckets)))
+        .repartition(col("field"), col("tb"))
+        .observe(obs,
+          count(lit(1)).as("segments"),
+          sum(length(col("blob"))).cast("long").as("bytes"),
+          sum(col("n")).cast("long").as("postings"))
         .write.mode(SaveMode.Overwrite)
         .partitionBy("field", "tb")
         .parquet(s"$out/segments")
-      val segCount = spark.read.parquet(s"$out/segments").count()
-      commit(out, "segments", Map("segments" -> segCount,
-        "rangeSize" -> rangeSize, "heavyTerms" -> heavy.size.toLong))
+      val m = obs.get
+      commit(out, "segments", Map(
+        "segments" -> m("segments").asInstanceOf[Long],
+        "bytes" -> m("bytes").asInstanceOf[Long],
+        "postings" -> m("postings").asInstanceOf[Long],
+        "rangeSize" -> rangeSize, "heavyTerms" -> heavyKeys.size.toLong))
     }
+    mark("segments")
 
     // stage 4: docstats + collstats ---------------------------------------
     if (!isCommitted(out, "docstats")) {
-      val lens = postings.groupBy("docId", "field").agg(max("dl").as("dl"))
-        .groupBy("docId").pivot("field",
-          Seq("default", "title", "body", "url")).agg(first("dl"))
+      val lens = postings.groupBy("docId").agg(
+          max(when(col("field") === "default", col("dl"))).as("len_default"),
+          max(when(col("field") === "title", col("dl"))).as("len_title"),
+          max(when(col("field") === "body", col("dl"))).as("len_body"),
+          max(when(col("field") === "url", col("dl"))).as("len_url"))
         .na.fill(0)
-        .withColumnRenamed("default", "len_default")
-        .withColumnRenamed("title", "len_title")
-        .withColumnRenamed("body", "len_body")
-        .withColumnRenamed("url", "len_url")
       lens.join(docmap, "docId")
         .write.mode(SaveMode.Overwrite).parquet(s"$out/docstats")
       commit(out, "docstats",
         Map("docs" -> spark.read.parquet(s"$out/docstats").count()))
     }
+    mark("docstats")
 
     if (!isCommitted(out, "collstats")) {
-      val perField = postings.groupBy("field").agg(
-        countDistinct("docId").as("docCount"),
-        countDistinct("term").as("vocabSize"),
-        sum("tf").cast("long").as("wordCount"))
+      // derived from the already-built small tables — no postings rescan
+      val ds = spark.read.parquet(s"$out/docstats")
+      val docCounts = Seq("default", "title", "body", "url").map { f =>
+        f -> ds.filter(col(s"len_$f") > 0).count()
+      }.toMap
+      val perField = termstats.groupBy("field").agg(
+        count(lit(1)).as("vocabSize"),
+        sum("cf").cast("long").as("wordCount"))
       val rows = perField.collect().map { r =>
-        val dc = r.getLong(1)
-        val wc = r.getLong(3)
-        s"""  "${r.getString(0)}": {"docCount": $dc, "vocabSize": ${r.getLong(2)}, "wordCount": $wc, "avgDocLen": ${if (dc == 0) 0.0 else wc.toDouble / dc}}"""
+        val field = r.getString(0)
+        val dc = docCounts(field)
+        val vocab = r.getLong(1)
+        val wc = r.getLong(2)
+        s"""  "$field": {"docCount": $dc, "vocabSize": $vocab, "wordCount": $wc, "avgDocLen": ${if (dc == 0) 0.0 else wc.toDouble / dc}}"""
       }
       Files.writeString(Paths.get(out, "collstats.json"),
         rows.mkString("{\n", ",\n", "\n}"))
       commit(out, "collstats", Map("fields" -> rows.length.toLong))
     }
+    mark("collstats")
   }
 
   // ----------------------------------------------------------------- reader

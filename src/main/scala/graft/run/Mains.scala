@@ -1,0 +1,111 @@
+package graft.run
+
+import org.apache.spark.sql.SparkSession
+import graft.corpus.SyntheticCorpus
+import graft.index.{BuildConf, IndexStore}
+import graft.query._
+import graft.model.TrecResult
+import java.io.{File, PrintWriter}
+
+/** spark-submit entry points (the rebuild's counterpart of the reference's
+  * RetrieverRunner.main — yairs/eval/RetrieverRunner.scala:21-53).
+  */
+object Mains {
+  def session(appName: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val b = SparkSession.builder().appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    val withMaster =
+      if (sys.env.contains("SPARK_GRAFT_LOCAL")) b.master(s"local[$cpus]")
+      else b.master(sys.props.getOrElse("spark.master", s"local[$cpus]"))
+    val s = withMaster.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Index job: pages parquet (or `synthetic:N` for the deterministic
+  * corpus) → resumable index build at `outDir`.
+  *
+  * Usage: IndexMain <input> <outDir> [numSlices] [heavyTermDf]
+  */
+object IndexMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: IndexMain <pagesParquet|synthetic:N> <outDir> [slices] [heavyDf]")
+    val spark = Mains.session("graft-index")
+    val pages =
+      if (args(0).startsWith("synthetic:"))
+        SyntheticCorpus.pages(spark, args(0).stripPrefix("synthetic:").toLong,
+          spark.sparkContext.defaultParallelism).toDF()
+      else spark.read.parquet(args(0))
+    val conf = BuildConf(
+      numSlices = if (args.length > 2) args(2).toInt else 8,
+      heavyTermDf = if (args.length > 3) args(3).toLong else 100000L,
+      shufflePartitions = spark.sparkContext.defaultParallelism)
+    val t0 = System.nanoTime()
+    IndexStore.build(pages, args(1), conf)
+    println(f"index build wall: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    spark.stop()
+  }
+}
+
+/** Query job: run a `qid:query` file against a built index, write a
+  * TREC-format run file (header + `qid\tQ0\tdocid\trank\t%.6f\trunid`,
+  * reference format trecLikeResult.scala:10-16; top-N per query, N<0 = all,
+  * RetrieverRunner.scala:71).
+  *
+  * Usage: QueryMain <indexDir> <queryFile> <outFile> <runId>
+  *                  [bm25|indri|boolean] [numResults] [--wand]
+  */
+object QueryMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 4, "usage: QueryMain <indexDir> <queryFile> <outFile> <runId> [model] [k] [--wand]")
+    val spark = Mains.session("graft-query")
+    val Array(indexDir, queryFile, outFile, runId) = args.take(4)
+    val modelName = if (args.length > 4) args(4) else "bm25"
+    val k = if (args.length > 5) args(5).toInt else 100
+    val useWand = args.contains("--wand")
+
+    val (model: Model, defaultOp) = modelName match {
+      case "boolean" => (Bool(ranked = true), QOp.OR)
+      case "indri"   => (Indri(), QOp.AND)
+      case _         => (BM25(), QOp.SUM)
+    }
+    val parser = new QueryParser(defaultOp = defaultOp)
+    val index = IndexStore.open(spark, indexDir)
+    val engine = new Engine(index, model)
+
+    val queries = scala.io.Source.fromFile(queryFile).getLines()
+      .filter(_.nonEmpty).map(QueryParser.parseQueryLine).toList
+
+    val t0 = System.nanoTime()
+    val results: Seq[TrecResult] =
+      if (useWand && modelName == "bm25") {
+        queries.flatMap { case (qid, q) =>
+          val terms = parser.parse(q) match {
+            case QInner(_, _, kids, _) => kids.collect {
+              case QLeaf(t, "default", false) => t
+            }
+            case QLeaf(t, _, _) => List(t)
+          }
+          Wand.bm25TopK(spark, index, terms, "default", k).collect()
+            .zipWithIndex.map { case (r, i) =>
+              TrecResult(qid, r.getAs[Long]("docId"), i + 1,
+                r.getAs[Double]("score"), runId)
+            }
+        }
+      } else engine.searchAll(queries, k, parser, runId)
+    println(f"query wall: ${(System.nanoTime() - t0) / 1e9}%.2f s for ${queries.length} queries")
+
+    val w = new PrintWriter(new File(outFile))
+    try {
+      w.println(TrecResult.header)
+      results.foreach(r => w.println(r.formatted))
+    } finally w.close()
+    spark.stop()
+  }
+}

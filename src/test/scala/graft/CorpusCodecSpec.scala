@@ -92,6 +92,23 @@ class CorpusCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("SegmentEncoder (pre-encoded positions) is byte-identical to encode") {
+    forAll(postingGen, 30) { ps =>
+      val a = Codec.encode(ps.iterator)
+      val enc = new Codec.SegmentEncoder
+      ps.foreach(p => enc.add(p.docId, p.tf, p.dl,
+        Codec.encodePositions(p.positions)))
+      val b = enc.finish()
+      assert(java.util.Arrays.equals(a.blob, b.blob))
+      assert(a.n == b.n && a.cf == b.cf && a.firstDocId == b.firstDocId &&
+        a.lastDocId == b.lastDocId)
+      assert(a.blockFirst.sameElements(b.blockFirst))
+      assert(a.blockOff.sameElements(b.blockOff))
+      assert(a.blockMaxTf.sameElements(b.blockMaxTf))
+      assert(a.blockMinDl.sameElements(b.blockMinDl))
+    }
+  }
+
   test("block decode from offsets matches full decode") {
     forAll(postingGen.suchThat(_.length > Codec.BlockSize)) { ps =>
       val seg = Codec.encode(ps.iterator)

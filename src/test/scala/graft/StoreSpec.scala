@@ -86,8 +86,10 @@ class StoreSpec extends AnyFunSuite {
       "collstats") ++ (0 until 4).map(i => s"postings-slice-$i")
     stages.foreach(s => assert(IndexStore.isCommitted(outDir, s), s))
     val m = IndexStore.readManifest(outDir, "postings-slice-0").get
-    assert(m.contains("\"postings\"") && m.contains("\"docs\"") &&
+    assert(m.contains("\"postings\"") && m.contains("\"docsApprox\"") &&
       m.contains("\"tokens\""))
+    val seg = IndexStore.readManifest(outDir, "segments").get
+    assert(seg.contains("\"bytes\"") && seg.contains("\"postings\""))
   }
 
   test("resume skips committed slices and reproduces identical output") {
