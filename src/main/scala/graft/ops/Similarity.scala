@@ -19,16 +19,31 @@ import graft.corpus.SyntheticCorpus.mix
   */
 object Similarity {
 
-  /** Cosine similarity between two float-array columns, in double. */
-  def cosineCol(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0),
-      (acc, v) => acc + v.cast("double") * v.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0),
-      (acc, v) => acc + v.cast("double") * v.cast("double")))
-    dot / (na * nb)
+  /** Cosine similarity between two float-array columns, in double.
+    * A primitive-array UDF, deliberately: Spark's higher-order functions
+    * (aggregate/zip_with) evaluate their lambdas interpreted per element,
+    * which measured ~10× slower than this compiled loop on 64-dim pairs.
+    * Accumulation is sequential in index order (doubles), matching the
+    * DuckDB oracle's unnest-ordinality sum bit-for-bit at 6dp rounding.
+    */
+  private val cosineUdf = udf { (a: Array[Float], b: Array[Float]) =>
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble
+      val y = b(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  def cosineCol(a: Column, b: Column): Column = cosineUdf(a, b)
 
   /** Brute-force cosine top-k: for each query vector (vec_id in queryIds),
     * the k nearest other vectors. Ties break by neighbor id ascending.
