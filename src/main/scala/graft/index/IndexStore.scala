@@ -178,10 +178,13 @@ object IndexStore {
     }
     val postings = spark.read.parquet(s"$out/postings")
 
-    // stage 2: termstats --------------------------------------------------
+    // stage 2: termstats (partitioned by tb so point lookups prune) -------
     if (!isCommitted(out, "termstats")) {
       IndexBuilder.termStats(postings)
-        .write.mode(SaveMode.Overwrite).parquet(s"$out/termstats")
+        .withColumn("tb", pmod(xxhash64(col("term")), lit(conf.termBuckets)))
+        .repartition(col("tb"))
+        .write.mode(SaveMode.Overwrite).partitionBy("tb")
+        .parquet(s"$out/termstats")
       commit(out, "termstats",
         Map("terms" -> spark.read.parquet(s"$out/termstats").count()))
     }
@@ -338,16 +341,19 @@ class ParquetIndex(spark: SparkSession, dir: String, termBuckets: Int)
       wordCount = field("wordCount", defObj).toDouble.toLong)
   }
 
-  def segmentsOf(term: String, field: String): DataFrame = {
-    val tb = {
-      // same function as the writer: xxhash64(term) mod termBuckets
-      import spark.implicits._
-      Seq(term).toDF("term")
-        .select(pmod(xxhash64(col("term")), lit(termBuckets))).collect()(0).getLong(0)
-    }
-    segmentsDf.filter(col("field") === field && col("tb") === tb &&
-      col("term") === term)
+  /** term bucket — the writer's pmod(xxhash64(term), termBuckets),
+    * computed by evaluating the SAME Catalyst expression driver-side (no
+    * Spark job per lookup).
+    */
+  def tbOf(term: String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Pmod, XxHash64}
+    Pmod(XxHash64(Seq(Literal(term)), 42L), Literal(termBuckets.toLong))
+      .eval(null).asInstanceOf[Long]
   }
+
+  def segmentsOf(term: String, field: String): DataFrame =
+    segmentsDf.filter(col("field") === field && col("tb") === tbOf(term) &&
+      col("term") === term)
 
   def postings(term: String, field: String): DataFrame = {
     import spark.implicits._
@@ -360,7 +366,8 @@ class ParquetIndex(spark: SparkSession, dir: String, termBuckets: Int)
   def termStat(term: String, field: String): (Long, Long) =
     statCache.getOrElseUpdate((term, field), {
       val rows = termstatsDf
-        .filter(col("term") === term && col("field") === field)
+        .filter(col("tb") === tbOf(term) && col("term") === term &&
+          col("field") === field)
         .select("df", "cf").collect()
       if (rows.isEmpty) (0L, 0L) else (rows(0).getLong(0), rows(0).getLong(1))
     })

@@ -60,8 +60,12 @@ class Engine(index: SearchIndex, val model: Model,
     Lowered(spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], postingsSchema), 0.0)
 
-  private val nearUdf = udf(Positional.nearMatches _)
-  private val uwUdf = udf(Positional.uwMatches _)
+  /** Positional kernels as native Catalyst expressions (no UDF SerDe;
+    * codegen via static-call doGenCode) — registered per session,
+    * referenced through expr(). Semantics pinned by PositionalSpec.
+    */
+  private def ensurePositionalFns(): Unit =
+    graft.query.expressions.PositionalExpressions.register(spark)
 
   // ---------------------------------------------------------------- leaves
 
@@ -149,12 +153,13 @@ class Engine(index: SearchIndex, val model: Model,
   private def near(children: Seq[Lowered], k: Int): Lowered = {
     if (children.length == 1) return children.head // fold pass-through
                                                    // (StructuredRetriever.scala:58-67)
+    ensurePositionalFns()
     val matched = children.reduceLeft { (l, r) =>
       val left = l.df.select(col("docId"), col("dl"),
         col("positions").as("pos1"))
       val right = r.df.select(col("docId"), col("positions").as("pos2"))
       val joined = left.join(right, Seq("docId"), "inner")
-        .withColumn("mpos", nearUdf(col("pos1"), col("pos2"), lit(k)))
+        .withColumn("mpos", expr(s"near_matches(pos1, pos2, $k)"))
         .filter(size(col("mpos")) > 0)
         // tf = #matches; dl kept from the LEFT posting; positions = matched
         // right-hand positions (StructuredRetriever.scala:139-147)
@@ -177,9 +182,10 @@ class Engine(index: SearchIndex, val model: Model,
           col("positions")))).as("lists"))
       .filter(col("cnt") === n) // doc must appear in ALL lists
                                 // (MultimergeSturcturedRetriever.scala:117)
+    ensurePositionalFns()
     val matched = gathered.select(
       col("docId"),
-      uwUdf(expr("transform(lists, x -> x.positions)"), lit(k)).as("tf"),
+      expr(s"uw_matches(transform(lists, x -> x.positions), $k)").as("tf"),
       // dl of the FIRST child's posting
       // (MultimergeSturcturedRetriever.scala:141)
       expr("lists[0].dl").as("dl"))
