@@ -90,6 +90,12 @@ object IndexBuilder {
 
 /** Query-side view of an index: postings point-lookups plus stats. */
 trait SearchIndex {
+  /** Warm the stat cache for a batch of (term, field) pairs in one pass
+    * (default: no-op; ParquetIndex overrides with a single pruned scan so
+    * an n-term query costs one stats job, not n).
+    */
+  def prefetchStats(pairs: Seq[(String, String)]): Unit = ()
+
   /** Postings of (term, field): columns docId:long, tf:int, dl:int,
     * positions:array<int>. A missing term yields an empty frame, not an
     * error (reference: yairs/model/InvertedList.scala:156-159).

@@ -320,6 +320,8 @@ class ParquetIndex(spark: SparkSession, dir: String, termBuckets: Int)
     extends SearchIndex {
 
   private lazy val termstatsDf = spark.read.parquet(s"$dir/termstats")
+  /** Stores written before the tb partition column existed stay readable. */
+  private lazy val termstatsHasTb = termstatsDf.columns.contains("tb")
   lazy val segmentsDf: DataFrame = spark.read.parquet(s"$dir/segments")
 
   private val statCache =
@@ -365,10 +367,28 @@ class ParquetIndex(spark: SparkSession, dir: String, termBuckets: Int)
 
   def termStat(term: String, field: String): (Long, Long) =
     statCache.getOrElseUpdate((term, field), {
-      val rows = termstatsDf
-        .filter(col("tb") === tbOf(term) && col("term") === term &&
-          col("field") === field)
+      val pruned = if (termstatsHasTb)
+        termstatsDf.filter(col("tb") === tbOf(term)) else termstatsDf
+      val rows = pruned
+        .filter(col("term") === term && col("field") === field)
         .select("df", "cf").collect()
       if (rows.isEmpty) (0L, 0L) else (rows(0).getLong(0), rows(0).getLong(1))
     })
+
+  /** One pruned scan resolves every (term, field) of a query. */
+  override def prefetchStats(pairs: Seq[(String, String)]): Unit = {
+    val missing = pairs.distinct.filterNot(statCache.contains)
+    if (missing.isEmpty) return
+    val tbs = missing.map(p => tbOf(p._1)).distinct
+    val terms = missing.map(_._1).distinct
+    val fields = missing.map(_._2).distinct
+    val pruned = if (termstatsHasTb)
+      termstatsDf.filter(col("tb").isin(tbs: _*)) else termstatsDf
+    val rows = pruned
+      .filter(col("term").isin(terms: _*) && col("field").isin(fields: _*))
+      .select("term", "field", "df", "cf").collect()
+    val found = rows.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getLong(3))).toMap
+    missing.foreach(p => statCache.put(p, found.getOrElse(p, (0L, 0L))))
+  }
 }

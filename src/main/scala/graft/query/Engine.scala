@@ -236,6 +236,11 @@ class Engine(index: SearchIndex, val model: Model,
       }
   }
 
+  private def collectLeaves(node: QNode): List[(String, String)] = node match {
+    case QLeaf(t, f, _)        => List((t, f))
+    case QInner(_, _, kids, _) => kids.flatMap(collectLeaves)
+  }
+
   // ------------------------------------------------------------ entry points
 
   /** Rank the evaluated postings: score desc, ties docId desc when ranked;
@@ -246,7 +251,9 @@ class Engine(index: SearchIndex, val model: Model,
   def search(queryStr: String, numResults: Int,
              parser: QueryParser): DataFrame = {
     val ranked = model match { case Bool(r) => r; case _ => true }
-    val lowered = lower(parser.parse(queryStr))
+    val root = parser.parse(queryStr)
+    index.prefetchStats(collectLeaves(root))
+    val lowered = lower(root)
     val base = lowered.df.select(col("docId"),
       (if (ranked) col("score") else lit(1.0)).as("score"))
     val ordered =
