@@ -76,7 +76,8 @@ object IndexStore {
     * per-partition offsets (partition counts collected to the driver —
     * one long per partition).
     */
-  def assignDocIds(pages: DataFrame, partitions: Int): DataFrame = {
+  def assignDocIds(pages: DataFrame, partitions: Int,
+                   offset: Long = 0L): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
     // cache the url projection: repartitionByRange samples its input, so
@@ -90,7 +91,7 @@ object IndexStore {
       .groupBy("pid").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = new Array[Long](partitions)
-    var acc = 0L
+    var acc = offset
     (0 until partitions).foreach { p =>
       offsets(p) = acc; acc += counts.getOrElse(p, 0L)
     }
@@ -176,7 +177,17 @@ object IndexStore {
       }
       mark(stage)
     }
+    derivedStages(spark, out, conf, mark)
+  }
+
+  /** Stages 2-4 (termstats, segments, docstats, collstats) over whatever
+    * postings slices exist — shared by the batch build and the streaming
+    * indexer's seal. Each stage still commits/skips via the manifest.
+    */
+  def derivedStages(spark: SparkSession, out: String, conf: BuildConf,
+                    mark: String => Unit = _ => ()): Unit = {
     val postings = spark.read.parquet(s"$out/postings")
+    val docmap = spark.read.parquet(s"$out/docmap").select("url", "docId")
 
     // stage 2: termstats (partitioned by tb so point lookups prune) -------
     if (!isCommitted(out, "termstats")) {

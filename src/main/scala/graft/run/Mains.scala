@@ -1,6 +1,7 @@
 package graft.run
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import graft.corpus.SyntheticCorpus
 import graft.index.{BuildConf, IndexStore}
 import graft.query._
@@ -49,6 +50,43 @@ object IndexMain {
     val t0 = System.nanoTime()
     IndexStore.build(pages, args(1), conf)
     println(f"index build wall: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    spark.stop()
+  }
+}
+
+/** Streaming index job: ingest a pages stream into a resumable store.
+  * With `synthetic-rate:R`, a rate source emits R synthetic pages/sec
+  * (deterministic by row index, same corpus as the batch generator);
+  * otherwise the argument is a directory watched for pages parquet files.
+  * Runs until `maxDocs` pages are ingested, then seals the store.
+  *
+  * Usage: StreamIndexMain <synthetic-rate:R|pagesDir> <outDir> <maxDocs>
+  */
+object StreamIndexMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: StreamIndexMain <synthetic-rate:R|pagesDir> <outDir> <maxDocs>")
+    val spark = Mains.session("graft-stream-index")
+    import spark.implicits._
+    val Array(src, outDir, maxDocsS) = args.take(3)
+    val maxDocs = maxDocsS.toLong
+    val pages =
+      if (src.startsWith("synthetic-rate:")) {
+        val rate = src.stripPrefix("synthetic-rate:").toInt
+        spark.readStream.format("rate").option("rowsPerSecond", rate).load()
+          .select(col("value"))
+          .as[Long].map(i => graft.corpus.SyntheticCorpus.page(i)).toDF()
+      } else spark.readStream.schema(
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+        .parquet(src)
+    val conf = graft.index.BuildConf(
+      shufflePartitions = spark.sparkContext.defaultParallelism)
+    val q = graft.streaming.StreamingIndexer.ingest(pages, outDir, conf)
+    while (q.isActive && graft.streaming.StreamingIndexer.ingestedDocs(outDir) < maxDocs) {
+      Thread.sleep(500)
+    }
+    q.stop()
+    graft.streaming.StreamingIndexer.seal(spark, outDir, conf)
+    println(s"stream-ingested ${graft.streaming.StreamingIndexer.ingestedDocs(outDir)} docs; sealed")
     spark.stop()
   }
 }
