@@ -109,17 +109,61 @@ class Engine(index: SearchIndex, val model: Model,
     Lowered(opaque(merged), 0.0)
   }
 
-  /** k-way union-with-defaults merge (BM25/Indri AND, SUM, WEIGHT). */
+  /** k-way union-with-defaults merge (BM25/Indri AND, SUM, WEIGHT).
+    *
+    * Fast path (all defaults finite — every normal configuration):
+    * score(doc) = Σ_present wᵢ(sᵢ − dᵢ) + Σ_all wᵢdᵢ — a plain
+    * sum-aggregate with map-side partial combine.
+    *
+    * Exact path (any non-finite default — e.g. k1 = 0 makes the BM25
+    * absent-term default 0/0 = NaN, a configuration the reference's sweep
+    * runs actually exercise): the algebraic identity would poison present
+    * docs with NaN, so instead gather per-child scores and replay the
+    * reference's child-order summation per doc
+    * (MultimergeSturcturedRetriever.scala:53-71) — absent children
+    * contribute wᵢdᵢ, present ones wᵢsᵢ, NaN stays confined to the docs
+    * the reference gives NaN to.
+    */
   private def weightedMerge(children: Seq[Lowered],
                             weights: Seq[Double]): Lowered = {
     val combined = children.zip(weights).map { case (c, w) => c.default * w }.sum
-    val parts = children.zip(weights).map { case (c, w) =>
-      c.df.select(col("docId"),
-        ((col("score") - lit(c.default)) * lit(w)).as("contrib"))
+    val allFinite = children.forall(c => java.lang.Double.isFinite(c.default))
+
+    val merged = if (allFinite) {
+      val parts = children.zip(weights).map { case (c, w) =>
+        c.df.select(col("docId"),
+          ((col("score") - lit(c.default)) * lit(w)).as("contrib"))
+      }
+      parts.reduce(_ union _)
+        .groupBy("docId")
+        .agg((sum("contrib") + lit(combined)).as("score"))
+    } else {
+      val ws = weights.toArray
+      val ds = children.map(_.default).toArray
+      val mergeUdf = udf { (cs: Seq[Row]) =>
+        val present = new Array[Double](ws.length)
+        val has = new Array[Boolean](ws.length)
+        cs.foreach { r =>
+          val i = r.getInt(0)
+          present(i) = r.getDouble(1)
+          has(i) = true
+        }
+        var total = 0.0
+        var i = 0
+        while (i < ws.length) {
+          total += (if (has(i)) present(i) * ws(i) else ds(i) * ws(i))
+          i += 1
+        }
+        total
+      }
+      val parts = children.zipWithIndex.map { case (c, i) =>
+        c.df.select(col("docId"), lit(i).as("cidx"), col("score"))
+      }
+      parts.reduce(_ union _)
+        .groupBy("docId")
+        .agg(collect_list(struct(col("cidx"), col("score"))).as("cs"))
+        .select(col("docId"), mergeUdf(col("cs")).as("score"))
     }
-    val merged = parts.reduce(_ union _)
-      .groupBy("docId")
-      .agg((sum("contrib") + lit(combined)).as("score"))
     Lowered(opaque(merged), combined)
   }
 
@@ -256,13 +300,18 @@ class Engine(index: SearchIndex, val model: Model,
     val lowered = lower(root)
     val base = lowered.df.select(col("docId"),
       (if (ranked) col("score") else lit(1.0)).as("score"))
+    // NaN placement: Spark sorts NaN as GREATEST (NaN-first under desc);
+    // the reference's Scala sort puts NaN last (java.lang.Double.compare).
+    // The isnan key restores reference order; no-op for finite scores.
     val ordered =
-      if (ranked) base.orderBy(col("score").desc, col("docId").desc)
+      if (ranked) base.orderBy(isnan(col("score")).asc, col("score").desc,
+        col("docId").desc)
       else base.orderBy(col("docId").desc)
     val top = if (numResults >= 0) ordered.limit(numResults) else ordered
     // rank over the (small) top-k — single partition is fine post-limit
     top.withColumn("rank", row_number().over(
-      if (ranked) Window.orderBy(col("score").desc, col("docId").desc)
+      if (ranked) Window.orderBy(isnan(col("score")).asc, col("score").desc,
+        col("docId").desc)
       else Window.orderBy(col("docId").desc)))
   }
 

@@ -189,6 +189,10 @@ object Wand {
   def bm25TopK(spark: SparkSession, index: ParquetIndex, terms: Seq[String],
                field: String, k: Int, model: BM25 = BM25(),
                numRanges: Int = 32): DataFrame = {
+    // k1 = 0 makes the absent-term default NaN in the exact engine (a
+    // reference sweep quirk); WAND's union-with-zero-default assumption
+    // only holds for k1 > 0
+    require(model.k1 > 0, "WAND path requires k1 > 0 (finite defaults)")
     import spark.implicits._
     val coll = index.collStats
     val n = coll.docCount.toDouble

@@ -121,4 +121,31 @@ class EngineSpec extends AnyFunSuite {
     val s = new Scorer(Indri(), oracleColl)
     assert(s.termScore(0, 0, 0, 100.0) == Integer.MIN_VALUE.toDouble)
   }
+
+  test("BM25 parameter sweep (k1/b variants) matches oracle") {
+    Seq(BM25(0.9, 0.5), BM25(0.0, 0.75), BM25(20.0, 1.0), BM25(1.2, 0.0))
+      .foreach { m =>
+        check(m, QOp.SUM, Seq("obama family tree", "w0 w1"), k = 20)
+      }
+  }
+
+  test("Indri documentBased prior matches oracle") {
+    check(Indri(wordBasedPrior = false), QOp.AND,
+      Seq("obama family", "#weight(0.6 obama 0.4 tree)"), k = 20)
+  }
+
+  test("unknown field (+anchor) behaves as a missing list") {
+    check(BM25(), QOp.SUM, Seq("obama+anchor family", "obama+anchor"), k = 20)
+  }
+
+  test("generated SDM and mixture-of-fields queries match oracle") {
+    val sdm = graft.query.SdmGen.expand("obama family tree")
+    val sdm2 = graft.query.SdmGen.expand("the french about lick")
+    val mr = graft.query.SdmGen.mixtureOfFields("obama family",
+      Seq("title" -> 0.3, "body" -> 0.6, "anchor" -> 0.1))
+    check(Indri(), QOp.AND, Seq(sdm, sdm2), k = 30)
+    check(Indri(), QOp.AND, Seq(mr), k = 30)
+    // shape sanity: reference sdm.txt:1 spelling
+    assert(sdm.startsWith("#weight( 0.8 #and( obama family tree ) 0.1 #and( #near/3( obama family )"))
+  }
 }
