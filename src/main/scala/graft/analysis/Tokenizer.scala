@@ -42,13 +42,28 @@ object Tokenizer {
     * positions). Done per document in one local pass, so the index build
     * shuffles per-(doc,term) rows, never per-token rows.
     */
-  def termVector(tokens: Array[String]): Map[String, (Int, Array[Int])] = {
+  def termVector(tokens: Array[String]): Map[String, (Int, Array[Int])] =
+    termVectorAll(Seq(tokens))
+
+  /** termVector over the CONCATENATION of several token arrays, without
+    * materializing the concatenated array. Positions run through the parts
+    * with a running offset, so `termVectorAll(Seq(a, b)) ==
+    * termVector(a ++ b)` exactly — the index build exploits that the
+    * `default` field's token stream is the title stream followed by the
+    * body stream ('\n' is a separator) and tokenizes each line group once.
+    */
+  def termVectorAll(parts: Seq[Array[String]]): Map[String, (Int, Array[Int])] = {
     val m = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.ArrayBuffer[Int]]
-    var i = 0
-    while (i < tokens.length) {
-      m.getOrElseUpdate(tokens(i), scala.collection.mutable.ArrayBuffer.empty[Int]) += i
-      i += 1
+    var off = 0
+    parts.foreach { tokens =>
+      var i = 0
+      while (i < tokens.length) {
+        m.getOrElseUpdate(tokens(i),
+          scala.collection.mutable.ArrayBuffer.empty[Int]) += (off + i)
+        i += 1
+      }
+      off += tokens.length
     }
     m.map { case (t, ps) => (t, (ps.length, ps.toArray)) }.toMap
   }

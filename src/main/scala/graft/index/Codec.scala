@@ -37,10 +37,12 @@ object Codec {
       buf(len) = v.toByte; len += 1
     }
     def writeVInt(v: Int): Unit = writeVLong(v.toLong)
-    def writeBytes(bytes: Array[Byte]): Unit = {
-      ensure(bytes.length)
-      System.arraycopy(bytes, 0, buf, len, bytes.length)
-      len += bytes.length
+    def writeBytes(bytes: Array[Byte]): Unit =
+      writeBytes(bytes, 0, bytes.length)
+    def writeBytes(bytes: Array[Byte], from: Int, n: Int): Unit = {
+      ensure(n)
+      System.arraycopy(bytes, from, buf, len, n)
+      len += n
     }
     def toBytes: Array[Byte] = java.util.Arrays.copyOf(buf, len)
   }
@@ -79,11 +81,15 @@ object Codec {
     out.toBytes
   }
 
-  /** Encoded segment + block skip metadata. */
+  /** Encoded segment + block skip metadata. `blockN` carries per-block
+    * posting counts: segments produced by the mini-segment merge restart a
+    * block at every mini boundary, so blocks are NOT uniformly BlockSize.
+    */
   case class Segment(blob: Array[Byte], n: Int, firstDocId: Long,
                      lastDocId: Long, cf: Long,
                      blockFirst: Array[Long], blockOff: Array[Int],
-                     blockMaxTf: Array[Int], blockMinDl: Array[Int])
+                     blockMaxTf: Array[Int], blockMinDl: Array[Int],
+                     blockN: Array[Int])
 
   /** Streaming segment encoder over pre-sorted (docId, tf, dl,
     * positions-rec) primitives — the allocation-free fast path of the
@@ -92,7 +98,9 @@ object Codec {
     * Produces byte-identical blobs to `encode`.
     */
   final class SegmentEncoder {
-    private val out = new Output(1 << 14)
+    // start tiny: the mini-segment build holds one LIVE encoder per
+    // (term, field) of a task's vocabulary — Zipf tails are a few postings
+    private val out = new Output(128)
     private val bFirst = scala.collection.mutable.ArrayBuffer.empty[Long]
     private val bOff = scala.collection.mutable.ArrayBuffer.empty[Int]
     private val bMaxTf = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -128,9 +136,64 @@ object Codec {
 
     def finish(): Segment = {
       if (n > 0) { bMaxTf += curMaxTf; bMinDl += curMinDl }
+      val nb = bFirst.length
+      val bN = Array.tabulate(nb)(j =>
+        if (j < nb - 1) BlockSize else n - (nb - 1) * BlockSize)
       Segment(out.toBytes, n, first, last, cf, bFirst.toArray, bOff.toArray,
-        bMaxTf.toArray, bMinDl.toArray)
+        bMaxTf.toArray, bMinDl.toArray, bN)
     }
+  }
+
+  /** Byte-level merger of pre-encoded segments of ONE (term, field) in
+    * ascending, non-overlapping docId order — the reduce side of the
+    * mini-segment index build. Interior deltas stay valid across a concat;
+    * only each appended segment's FIRST vlong (its delta from 0) is
+    * rewritten to the delta from the previous segment's lastDocId, and its
+    * block offsets are shifted accordingly. Appended segments keep their
+    * own block boundaries (hence per-block counts in `blockN`).
+    */
+  final class SegmentMerger {
+    private val out = new Output(1 << 12)
+    private val bFirst = scala.collection.mutable.ArrayBuffer.empty[Long]
+    private val bOff = scala.collection.mutable.ArrayBuffer.empty[Int]
+    private val bMaxTf = scala.collection.mutable.ArrayBuffer.empty[Int]
+    private val bMinDl = scala.collection.mutable.ArrayBuffer.empty[Int]
+    private val bN = scala.collection.mutable.ArrayBuffer.empty[Int]
+    private var prevLast = 0L
+    private var n = 0
+    private var first = -1L
+    private var cf = 0L
+
+    def postings: Int = n
+
+    def append(mini: Segment): Unit = {
+      require(n == 0 || mini.firstDocId > prevLast,
+        s"segment merge out of order: ${mini.firstDocId} after $prevLast")
+      val in = new Input(mini.blob)
+      in.readVLong() // the old first delta (== firstDocId, encoded from 0)
+      val oldHdr = in.pos
+      val base = out.size
+      out.writeVLong(mini.firstDocId - prevLast)
+      val shift = (out.size - base) - oldHdr
+      out.writeBytes(mini.blob, oldHdr, mini.blob.length - oldHdr)
+      var j = 0
+      while (j < mini.blockFirst.length) {
+        bFirst += mini.blockFirst(j)
+        bOff += base + (if (j == 0) 0 else mini.blockOff(j) + shift)
+        bMaxTf += mini.blockMaxTf(j)
+        bMinDl += mini.blockMinDl(j)
+        bN += mini.blockN(j)
+        j += 1
+      }
+      if (n == 0) first = mini.firstDocId
+      prevLast = mini.lastDocId
+      n += mini.n
+      cf += mini.cf
+    }
+
+    def finish(): Segment =
+      Segment(out.toBytes, n, first, prevLast, cf, bFirst.toArray,
+        bOff.toArray, bMaxTf.toArray, bMinDl.toArray, bN.toArray)
   }
 
   /** Encode postings (MUST be pre-sorted ascending by docId). */
@@ -177,8 +240,11 @@ object Codec {
       n += 1
     }
     if (n > 0) { bMaxTf += curMaxTf; bMinDl += curMinDl }
+    val nb = bFirst.length
+    val bN = Array.tabulate(nb)(j =>
+      if (j < nb - 1) BlockSize else n - (nb - 1) * BlockSize)
     Segment(out.toBytes, n, first, last, cf, bFirst.toArray, bOff.toArray,
-      bMaxTf.toArray, bMinDl.toArray)
+      bMaxTf.toArray, bMinDl.toArray, bN)
   }
 
   /** Decode a whole blob back to postings (ascending docId). */

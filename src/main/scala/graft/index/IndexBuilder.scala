@@ -54,6 +54,97 @@ object IndexBuilder {
     }.toDF("term", "field", "docId", "tf", "dl", "rec")
   }
 
+  /** The reference's four-field document layout (yairs/io/FileUtils
+    * .scala:38-49): default = full extracted text, title = first line,
+    * body = rest, url = the page url.
+    */
+  def fieldsOf(text: String, url: String): Seq[(String, String)] = {
+    val nl = text.indexOf('\n')
+    val (title, body) =
+      if (nl >= 0) (text.substring(0, nl), text.substring(nl + 1))
+      else (text, "")
+    Seq(("default", text), ("title", title), ("body", body), ("url", url))
+  }
+
+  /** Map-side segment build — the scale path of the index pipeline.
+    *
+    * Input MUST be docId-contiguous per partition run (pages sorted by
+    * docId within each parquet file; Spark may pack several files into one
+    * scan partition, so a docId regression simply cuts a new mini-segment
+    * — runs from different files cover disjoint docId ranges and the merge
+    * reorders them by firstDocId).
+    *
+    * Each task tokenizes its pages and VByte-encodes one mini-segment per
+    * (field, term, docId-range bucket) directly — postings never exist as
+    * individual rows, so the downstream merge shuffles ~|vocab|·|tasks|
+    * pre-encoded rows instead of one row per posting (10²–10³× fewer at
+    * web scale). Buckets are docId ranges of `rangeSize` docs: a head term
+    * (Zipf skew) is split across buckets, so no reduce task ever sees more
+    * than ~rangeSize postings of one term, and concatenating buckets in
+    * bucket order keeps docId order for free.
+    *
+    * Per-field doc lengths ride along as sentinel rows (term = "", one per
+    * (field, run): blob = standard encoding of (docId, tf=docLength)) so
+    * docstats needs no second tokenize pass.
+    */
+  def miniSegments(pagesWithId: DataFrame, rangeSize: Long): Dataset[SegmentRow] = {
+    import pagesWithId.sparkSession.implicits._
+    pagesWithId.select("docId", "text", "url").as[(Long, String, String)]
+      .mapPartitions { it =>
+        val rows = scala.collection.mutable.ArrayBuffer.empty[SegmentRow]
+        final class Acc(term: String, field: String) {
+          private var bucket = -1L
+          private var last = -1L
+          private var enc: Codec.SegmentEncoder = null
+          def flush(): Unit = if (enc != null) {
+            val s = enc.finish()
+            rows += SegmentRow(term, field, bucket.toInt, s.n, s.firstDocId,
+              s.lastDocId, s.cf, s.blob, s.blockFirst, s.blockOff,
+              s.blockMaxTf, s.blockMinDl, s.blockN)
+            enc = null
+          }
+          def add(docId: Long, tf: Int, dl: Int, rec: Array[Byte]): Unit = {
+            val b = docId / rangeSize
+            if (enc == null || b != bucket || docId <= last) {
+              flush(); enc = new Codec.SegmentEncoder; bucket = b
+            }
+            enc.add(docId, tf, dl, rec)
+            last = docId
+          }
+        }
+        val accs = scala.collection.mutable.HashMap.empty[(String, String), Acc]
+        val emptyRec = Codec.encodePositions(Array.emptyIntArray)
+        def field(docId: Long, f: String, dl: Int,
+                  tv: Map[String, (Int, Array[Int])]): Unit = {
+          accs.getOrElseUpdate(("", f), new Acc("", f))
+            .add(docId, dl, 0, emptyRec) // doclen sentinel
+          tv.foreach { case (t, (tf, pos)) =>
+            accs.getOrElseUpdate((t, f), new Acc(t, f))
+              .add(docId, tf, dl, Codec.encodePositions(pos))
+          }
+        }
+        it.foreach { case (docId, text, url) =>
+          // default = title tokens ++ body tokens ('\n' separates), so the
+          // two big fields are tokenized once, not twice
+          val nl = text.indexOf('\n')
+          val (title, body) =
+            if (nl >= 0) (text.substring(0, nl), text.substring(nl + 1))
+            else (text, "")
+          val tToks = Tokenizer.tokenize(title)
+          val bToks = Tokenizer.tokenize(body)
+          val uToks = Tokenizer.tokenize(url)
+          field(docId, "default", tToks.length + bToks.length,
+            Tokenizer.termVectorAll(Seq(tToks, bToks)))
+          field(docId, "title", tToks.length, Tokenizer.termVector(tToks))
+          field(docId, "body", bToks.length, Tokenizer.termVector(bToks))
+          field(docId, "url", uToks.length, Tokenizer.termVector(uToks))
+        }
+        accs.valuesIterator.foreach(_.flush())
+        // deterministic emission order (resume reproducibility)
+        rows.sortBy(r => (r.field, r.term, r.bucket, r.firstDocId)).iterator
+      }
+  }
+
   /** Per-(term,field) document and collection frequencies. */
   def termStats(postings: DataFrame): DataFrame =
     postings.groupBy("term", "field")

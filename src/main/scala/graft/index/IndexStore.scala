@@ -13,36 +13,48 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * `_manifests/` JSON protocol behind this seam; see SURVEY.md §7):
   *
   *   out/
-  *     docmap/                  (url, docId)  — dense docIds by url order
-  *     postings/slice=i/        (term, field, docId, tf, dl, positions)
-  *     termstats/               (term, field, df, cf)
-  *     segments/field=f/tb=h/   (term, bucket, df, cf, n, firstDocId,
-  *                               lastDocId, blob, blockFirst, blockOff,
-  *                               blockMaxTf, blockMinDl)
+  *     docmap/                  (url, docId, text, lang) — dense docIds by
+  *                              url order, files sorted by docId, so the
+  *                              table double-acts as the docId-contiguous
+  *                              input of the mini-segment build stage
+  *     minisegs/slice=i/        map-side mini-segments, one row per
+  *                              (term, field, docId-range bucket, task run)
+  *                              + doclen sentinel rows (term = "")
+  *     segments/field=f/tb=h/   merged segments: (term, bucket, n,
+  *                              firstDocId, lastDocId, segCf, blob,
+  *                              blockFirst, blockOff, blockMaxTf,
+  *                              blockMinDl, blockN)
+  *     termstats/tb=h/          (term, field, df, cf)
   *     docstats/                (docId, url, len_default, len_title, …)
   *     collstats.json           per-field collection stats
   *     _manifests/<stage>.json  committed stages with counters
   *
-  * Resume: every stage (and every postings slice) commits a manifest entry
+  * Resume: every stage (and every minisegs slice) commits a manifest entry
   * AFTER its output is fully written; `build` skips committed work, so an
   * interrupted build restarts without recomputing finished slices and the
   * final index is identical (deterministic input + deterministic stages).
   *
-  * Scale levers (north rule): postings never exist as token-level rows
-  * (per-doc local aggregation in one flatMap); heavy terms (df >
-  * heavyTermDf) are salted into docId-range buckets so no single segment
-  * row exceeds ~rangeSize postings — head-term skew (Zipf) cannot create a
-  * straggler reducer, and range bucketing keeps concatenated buckets
-  * docId-sorted for free. Point lookups prune on (field, tb) partition
+  * Scale shape (north rule): postings NEVER exist as per-posting rows —
+  * each map task VByte-encodes its (term, field, bucket) runs directly
+  * (IndexBuilder.miniSegments), so the only wide shuffle in the whole
+  * build moves pre-encoded blobs, ~|vocab|·|tasks| rows instead of one row
+  * per posting. Head-term skew (Zipf) is defused structurally: buckets are
+  * fixed docId ranges, so "the" arrives as many bounded mini-segments that
+  * byte-concatenate (Codec.SegmentMerger — interior deltas stay valid) on
+  * different reduce tasks. Point lookups prune on (field, tb) partition
   * directories, tb = xxhash64(term) mod termBuckets.
   */
 case class BuildConf(
     numSlices: Int = 8,
-    heavyTermDf: Long = 100000L,
     numBuckets: Int = 32,
     termBuckets: Int = 64,
     langFilter: Option[String] = Some("en"),
-    shufflePartitions: Int = 32)
+    shufflePartitions: Int = 32,
+    /** docs per docId-range bucket for STREAMING stores (total doc count
+      * is unknown up front there; must stay constant for a store's life).
+      * Batch builds derive the bucket size from the docmap count instead.
+      */
+    streamBucketDocs: Long = 1L << 16)
 
 object IndexStore {
 
@@ -69,44 +81,56 @@ object IndexStore {
     if (Files.exists(p)) Some(Files.readString(p)) else None
   }
 
+  /** One numeric counter out of a committed stage manifest. */
+  def manifestCounter(out: String, stage: String, key: String): Long =
+    readManifest(out, stage).flatMap { json =>
+      (s""""$key":\\s*(-?\\d+)""").r.findFirstMatchIn(json).map(_.group(1).toLong)
+    }.getOrElse(sys.error(s"no counter '$key' in manifest $stage at $out"))
+
   // ---------------------------------------------------------------- stages
 
   /** Dense docId assignment by global url order without a single-partition
     * sort: range-repartition by url, sort within partitions, then add
-    * per-partition offsets (partition counts collected to the driver —
-    * one long per partition).
+    * per-partition offsets (partition counts collected to the driver — one
+    * long per partition). Carries (text, lang) through the one text-wide
+    * shuffle so the output partitions are docId-contiguous AND hold the
+    * tokenizer input — no later join against the corpus.
+    *
+    * Returns (df, release): call release() after the result is consumed to
+    * drop the two internal caches (range sampling + the counted sort would
+    * otherwise each rescan the input).
     */
   def assignDocIds(pages: DataFrame, partitions: Int,
-                   offset: Long = 0L): DataFrame = {
+                   offset: Long = 0L): (DataFrame, () => Unit) = {
     val spark = pages.sparkSession
     import spark.implicits._
-    // cache the url projection: repartitionByRange samples its input, so
-    // an uncached plan would scan (or regenerate) the corpus twice
-    val urls = pages.select("url")
+    val slim = pages.select("url", "text", "lang")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sorted = urls.repartitionByRange(partitions, col("url"))
+    val sorted = slim.repartitionByRange(partitions, col("url"))
       .sortWithinPartitions("url")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = sorted.select(org.apache.spark.sql.functions.spark_partition_id().as("pid"))
+    val counts = sorted.select(spark_partition_id().as("pid"))
       .groupBy("pid").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    slim.unpersist() // sorted is materialized by the count job
     val offsets = new Array[Long](partitions)
     var acc = offset
     (0 until partitions).foreach { p =>
       offsets(p) = acc; acc += counts.getOrElse(p, 0L)
     }
     val bc = spark.sparkContext.broadcast(offsets)
-    val withIds = sorted.as[String].mapPartitions { it =>
+    val withIds = sorted.as[(String, String, String)].mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.get().partitionId()
       var i = bc.value(pid)
-      it.map { url => val r = (url, i); i += 1; r }
-    }.toDF("url", "docId")
-    withIds
+      it.map { case (url, text, lang) =>
+        val r = (url, i, text, lang); i += 1; r
+      }
+    }.toDF("url", "docId", "text", "lang")
+    (withIds, () => { sorted.unpersist(); () })
   }
 
-  /** Pages (+docId) → per-field FieldDocs. Fields mirror the reference
-    * layout (default/title/body/url — yairs/io/FileUtils.scala:38-49);
-    * `default` is the full extracted text.
+  /** Pages (+docId) → per-field FieldDocs (the row-level path used by the
+    * in-memory index; the persistent build uses IndexBuilder.miniSegments).
     */
   def fieldDocs(pagesWithId: DataFrame): Dataset[FieldDoc] = {
     val spark = pagesWithId.sparkSession
@@ -114,17 +138,27 @@ object IndexStore {
     pagesWithId.select(col("docId"), col("text"), col("url"))
       .as[(Long, String, String)]
       .flatMap { case (id, text, url) =>
-        val nl = text.indexOf('\n')
-        val (title, body) =
-          if (nl >= 0) (text.substring(0, nl), text.substring(nl + 1))
-          else (text, "")
-        Seq(
-          FieldDoc(id, "default", text),
-          FieldDoc(id, "title", title),
-          FieldDoc(id, "body", body),
-          FieldDoc(id, "url", url))
+        IndexBuilder.fieldsOf(text, url).map { case (f, t) =>
+          FieldDoc(id, f, t)
+        }
       }
   }
+
+  /** Counters observed on a minisegs write (shared batch/streaming). */
+  private[graft] def miniObs(name: String) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val aggs = Seq(
+      sum(when(col("term") =!= "", col("n")).otherwise(0)).cast("long").as("postings"),
+      sum(when(col("term") =!= "", col("segCf")).otherwise(0)).cast("long").as("tokens"),
+      sum(when(col("term") === "" && col("field") === "default", col("n"))
+        .otherwise(0)).cast("long").as("docs"))
+    (obs, aggs)
+  }
+
+  private[graft] def miniCounters(m: Map[String, Any]): Map[String, Long] = Map(
+    "postings" -> m("postings").asInstanceOf[Long],
+    "tokens" -> m("tokens").asInstanceOf[Long],
+    "docs" -> m("docs").asInstanceOf[Long])
 
   /** Full build. Each stage is skipped when already committed. */
   def build(pages: DataFrame, out: String,
@@ -143,119 +177,94 @@ object IndexStore {
     val filtered = conf.langFilter
       .map(l => pages.filter(col("lang") === l)).getOrElse(pages)
 
-    // stage 0: docmap ----------------------------------------------------
+    // stage 0: docmap (url-sorted pages with dense docIds) -----------------
     if (!isCommitted(out, "docmap")) {
-      val ids = assignDocIds(filtered, conf.shufflePartitions)
-      ids.write.mode(SaveMode.Overwrite).parquet(s"$out/docmap")
-      val n = spark.read.parquet(s"$out/docmap").count()
-      commit(out, "docmap", Map("docs" -> n))
+      val (ids, release) = assignDocIds(filtered, conf.shufflePartitions)
+      val obs = org.apache.spark.sql.Observation("docmap")
+      ids.observe(obs, count(lit(1)).as("docs"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/docmap")
+      commit(out, "docmap", Map("docs" -> obs.get("docs").asInstanceOf[Long]))
+      release()
     }
     mark("docmap")
-    val docmap = spark.read.parquet(s"$out/docmap")
+    val totalDocs = manifestCounter(out, "docmap", "docs")
+    val rangeSize =
+      math.max(1L, (totalDocs + conf.numBuckets - 1) / conf.numBuckets)
 
-    // stage 1: postings, one resumable slice at a time -------------------
-    val sliceExpr = pmod(xxhash64(col("url")), lit(conf.numSlices))
+    // stage 1: mini-segments, one resumable docId-range slice at a time ----
+    val sliceSize = math.max(1L, (totalDocs + conf.numSlices - 1) / conf.numSlices)
     (0 until conf.numSlices).foreach { i =>
-      val stage = s"postings-slice-$i"
+      val stage = s"minisegs-slice-$i"
       if (!isCommitted(out, stage)) {
-        val slicePages = filtered.filter(sliceExpr === i)
-          .join(docmap, "url")
-        // counters ride the write itself (Observation = zero extra pass)
-        val obs = org.apache.spark.sql.Observation(s"slice-$i")
-        IndexBuilder.buildPostingsEncoded(fieldDocs(slicePages))
-          .observe(obs,
-            count(lit(1)).as("postings"),
-            sum(col("tf")).cast("long").as("tokens"),
-            approx_count_distinct(col("docId")).as("docsApprox"))
+        // docmap files are docId-sorted: the range filter prunes row groups
+        val slice = spark.read.parquet(s"$out/docmap")
+          .filter(col("docId") >= i * sliceSize &&
+            col("docId") < (i + 1L) * sliceSize)
+        val (obs, aggs) = miniObs(s"minisegs-$i")
+        IndexBuilder.miniSegments(slice, rangeSize).toDF()
+          .observe(obs, aggs.head, aggs.tail: _*)
           .write.mode(SaveMode.Overwrite)
-          .parquet(s"$out/postings/slice=$i")
-        val m = obs.get
-        commit(out, stage, Map(
-          "postings" -> m("postings").asInstanceOf[Long],
-          "tokens" -> m("tokens").asInstanceOf[Long],
-          "docsApprox" -> m("docsApprox").asInstanceOf[Long]))
+          .parquet(s"$out/minisegs/slice=$i")
+        commit(out, stage, miniCounters(obs.get) +
+          ("rangeSize" -> rangeSize))
       }
       mark(stage)
     }
     derivedStages(spark, out, conf, mark)
   }
 
-  /** Stages 2-4 (termstats, segments, docstats, collstats) over whatever
-    * postings slices exist — shared by the batch build and the streaming
-    * indexer's seal. Each stage still commits/skips via the manifest.
+  /** Derived tables (segments, termstats, docstats, collstats) over
+    * whatever minisegs slices exist — shared by the batch build and the
+    * streaming indexer's seal. Each stage commits/skips via the manifest.
     */
   def derivedStages(spark: SparkSession, out: String, conf: BuildConf,
                     mark: String => Unit = _ => ()): Unit = {
-    val postings = spark.read.parquet(s"$out/postings")
-    val docmap = spark.read.parquet(s"$out/docmap").select("url", "docId")
+    import spark.implicits._
+    val minis = spark.read.parquet(s"$out/minisegs")
 
-    // stage 2: termstats (partitioned by tb so point lookups prune) -------
-    if (!isCommitted(out, "termstats")) {
-      IndexBuilder.termStats(postings)
-        .withColumn("tb", pmod(xxhash64(col("term")), lit(conf.termBuckets)))
-        .repartition(col("tb"))
-        .write.mode(SaveMode.Overwrite).partitionBy("tb")
-        .parquet(s"$out/termstats")
-      commit(out, "termstats",
-        Map("terms" -> spark.read.parquet(s"$out/termstats").count()))
-    }
-    mark("termstats")
-    val termstats = spark.read.parquet(s"$out/termstats")
-
-    // stage 3: segments (delta+VByte, salted for heavy terms) -------------
+    // stage 2: segments — merge minis per (term, field, bucket) -----------
+    // One shuffle of pre-encoded rows, keyed by the OUTPUT partition
+    // (field, tb) so every directory is written by the task that merged it
+    // (no second move); within a task groups are streamed in sorted order
+    // and byte-concatenated (SegmentMerger).
     if (!isCommitted(out, "segments")) {
-      val totalDocs = docmap.count()
-      val rangeSize = math.max(1L, (totalDocs + conf.numBuckets - 1) / conf.numBuckets)
-      // heavy (term, field) pairs are few (vocab head) — fold them into a
-      // codegen'd InSet test; no typed deserialization on the 10⁸-row path
-      val heavyKeys = termstats.filter(col("df") > conf.heavyTermDf)
-        .select("term", "field").collect()
-        .map(r => r.getString(0) + "\u0000" + r.getString(1)).toSeq
-      val bucketCol =
-        if (heavyKeys.isEmpty) lit(-1)
-        else when(concat_ws("\u0000", col("term"), col("field"))
-          .isin(heavyKeys: _*),
-          (col("docId") / rangeSize).cast("int")).otherwise(lit(-1))
-
-      import spark.implicits._
-      val segRows = postings
-        .withColumn("bucket", bucketCol)
-        .repartition(conf.shufflePartitions, col("term"), col("field"), col("bucket"))
-        .sortWithinPartitions("term", "field", "bucket", "docId")
-        .select("term", "field", "bucket", "docId", "tf", "dl", "rec")
-        .as[(String, String, Int, Long, Int, Int, Array[Byte])]
-        .mapPartitions { (it: Iterator[(String, String, Int, Long, Int, Int, Array[Byte])]) =>
-          // streaming run-length grouping over the partition-sorted stream;
-          // positions arrive pre-encoded (rec) — pure byte concatenation
+      val segCols = Seq("term", "field", "bucket", "n", "firstDocId",
+        "lastDocId", "segCf", "blob", "blockFirst", "blockOff",
+        "blockMaxTf", "blockMinDl", "blockN")
+      val merged = minis.filter(col("term") =!= "")
+        .withColumn("tb", pmod(xxhash64(col("term")), lit(conf.termBuckets)))
+        .repartition(conf.shufflePartitions, col("field"), col("tb"))
+        .sortWithinPartitions("term", "field", "bucket", "firstDocId")
+        .select(segCols.map(col): _*)
+        .as[SegmentRow]
+        .mapPartitions { it =>
+          val in = it.buffered
           new Iterator[SegmentRow] {
-            private val in = it.buffered
             def hasNext: Boolean = in.hasNext
             def next(): SegmentRow = {
-              val (term, field, bucket, _, _, _, _) = in.head
-              val enc = new Codec.SegmentEncoder
+              val h = in.head
+              val (term, field, bucket) = (h.term, h.field, h.bucket)
+              val merger = new Codec.SegmentMerger
               while (in.hasNext && {
-                val h = in.head
-                h._1 == term && h._2 == field && h._3 == bucket
+                val x = in.head
+                x.term == term && x.field == field && x.bucket == bucket
               }) {
-                val (_, _, _, docId, tf, dl, rec) = in.next()
-                enc.add(docId, tf, dl, rec)
+                val m = in.next()
+                merger.append(Codec.Segment(m.blob, m.n, m.firstDocId,
+                  m.lastDocId, m.segCf, m.blockFirst, m.blockOff,
+                  m.blockMaxTf, m.blockMinDl, m.blockN))
               }
-              val seg = enc.finish()
-              SegmentRow(term, field, bucket, seg.n, seg.firstDocId,
-                seg.lastDocId, seg.cf, seg.blob, seg.blockFirst,
-                seg.blockOff, seg.blockMaxTf, seg.blockMinDl)
+              val s = merger.finish()
+              SegmentRow(term, field, bucket, s.n, s.firstDocId, s.lastDocId,
+                s.cf, s.blob, s.blockFirst, s.blockOff, s.blockMaxTf,
+                s.blockMinDl, s.blockN)
             }
           }
-        }.toDF()
+        }
 
-      // second (cheap) shuffle moves ENCODED rows so each (field, tb)
-      // directory is written by exactly one task — a direct partitionBy
-      // write from the encode tasks would open |field|x|tb| writers per
-      // task and shatter the store into thousands of tiny files
       val obs = org.apache.spark.sql.Observation("segments")
-      segRows
+      merged.toDF()
         .withColumn("tb", pmod(xxhash64(col("term")), lit(conf.termBuckets)))
-        .repartition(col("field"), col("tb"))
         .observe(obs,
           count(lit(1)).as("segments"),
           sum(length(col("blob"))).cast("long").as("bytes"),
@@ -267,35 +276,64 @@ object IndexStore {
       commit(out, "segments", Map(
         "segments" -> m("segments").asInstanceOf[Long],
         "bytes" -> m("bytes").asInstanceOf[Long],
-        "postings" -> m("postings").asInstanceOf[Long],
-        "rangeSize" -> rangeSize, "heavyTerms" -> heavyKeys.size.toLong))
+        "postings" -> m("postings").asInstanceOf[Long]))
     }
     mark("segments")
 
-    // stage 4: docstats + collstats ---------------------------------------
+    // stage 3: termstats from the merged segments (tiny aggregation;
+    // partitioned by tb so point lookups prune) ---------------------------
+    if (!isCommitted(out, "termstats")) {
+      val obs = org.apache.spark.sql.Observation("termstats")
+      spark.read.parquet(s"$out/segments")
+        .groupBy("term", "field")
+        .agg(sum("n").cast("long").as("df"), sum("segCf").cast("long").as("cf"))
+        .withColumn("tb", pmod(xxhash64(col("term")), lit(conf.termBuckets)))
+        .repartition(col("tb"))
+        .observe(obs, count(lit(1)).as("terms"))
+        .write.mode(SaveMode.Overwrite).partitionBy("tb")
+        .parquet(s"$out/termstats")
+      commit(out, "termstats",
+        Map("terms" -> obs.get("terms").asInstanceOf[Long]))
+    }
+    mark("termstats")
+
+    // stage 4: docstats from the doclen sentinel rows + collstats ----------
     if (!isCommitted(out, "docstats")) {
-      val lens = postings.groupBy("docId").agg(
+      val doclens = minis.filter(col("term") === "")
+        .select("field", "n", "blob").as[(String, Int, Array[Byte])]
+        .flatMap { case (f, n, blob) =>
+          Codec.decode(blob, n).map(p => (p.docId, f, p.tf))
+        }
+        .toDF("docId", "field", "dl")
+      val lens = doclens.groupBy("docId").agg(
           max(when(col("field") === "default", col("dl"))).as("len_default"),
           max(when(col("field") === "title", col("dl"))).as("len_title"),
           max(when(col("field") === "body", col("dl"))).as("len_body"),
           max(when(col("field") === "url", col("dl"))).as("len_url"))
         .na.fill(0)
+      val docmap = spark.read.parquet(s"$out/docmap").select("url", "docId")
+      val obs = org.apache.spark.sql.Observation("docstats")
       lens.join(docmap, "docId")
+        .observe(obs, count(lit(1)).as("docs"))
         .write.mode(SaveMode.Overwrite).parquet(s"$out/docstats")
-      commit(out, "docstats",
-        Map("docs" -> spark.read.parquet(s"$out/docstats").count()))
+      commit(out, "docstats", Map("docs" -> obs.get("docs").asInstanceOf[Long]))
     }
     mark("docstats")
 
     if (!isCommitted(out, "collstats")) {
       // derived from the already-built small tables — no postings rescan
       val ds = spark.read.parquet(s"$out/docstats")
-      val docCounts = Seq("default", "title", "body", "url").map { f =>
-        f -> ds.filter(col(s"len_$f") > 0).count()
-      }.toMap
-      val perField = termstats.groupBy("field").agg(
-        count(lit(1)).as("vocabSize"),
-        sum("cf").cast("long").as("wordCount"))
+      val dcRow = ds.agg(
+        sum(when(col("len_default") > 0, 1L).otherwise(0L)),
+        sum(when(col("len_title") > 0, 1L).otherwise(0L)),
+        sum(when(col("len_body") > 0, 1L).otherwise(0L)),
+        sum(when(col("len_url") > 0, 1L).otherwise(0L))).collect()(0)
+      val docCounts = Seq("default", "title", "body", "url").zipWithIndex
+        .map { case (f, i) => f -> dcRow.getLong(i) }.toMap
+      val perField = spark.read.parquet(s"$out/termstats")
+        .groupBy("field").agg(
+          count(lit(1)).as("vocabSize"),
+          sum("cf").cast("long").as("wordCount"))
       val rows = perField.collect().map { r =>
         val field = r.getString(0)
         val dc = docCounts(field)
@@ -322,7 +360,7 @@ case class SegmentRow(term: String, field: String, bucket: Int, n: Int,
                       firstDocId: Long, lastDocId: Long, segCf: Long,
                       blob: Array[Byte], blockFirst: Array[Long],
                       blockOff: Array[Int], blockMaxTf: Array[Int],
-                      blockMinDl: Array[Int])
+                      blockMinDl: Array[Int], blockN: Array[Int])
 
 /** SearchIndex over the persistent store: point lookups prune on
   * (field, tb) directories, then decode segment blobs to posting rows.

@@ -210,23 +210,24 @@ object Wand {
     val segs = idfs.keys.map(t =>
       index.segmentsOf(t, field).withColumn("qterm", lit(t))).reduce(_ union _)
       .select("qterm", "n", "blob", "blockFirst", "blockOff", "blockMaxTf",
-        "blockMinDl", "lastDocId")
+        "blockMinDl", "blockN", "lastDocId")
 
     val sliced = segs.as[(String, Int, Array[Byte], Seq[Long], Seq[Int],
-        Seq[Int], Seq[Int], Long)]
-      .flatMap { case (term, nPost, blob, bFirst, bOff, bMaxTf, bMinDl, lastDoc) =>
+        Seq[Int], Seq[Int], Seq[Int], Long)]
+      .flatMap { case (term, _, blob, bFirst, bOff, bMaxTf, bMinDl, bN, lastDoc) =>
         val nb = bFirst.length
         // (rangeId, term, per-block slice) for every range a block overlaps
+        // (blocks are NOT uniformly BlockSize: the segment merge restarts a
+        // block per appended mini-segment, so counts come from blockN)
         (0 until nb).iterator.flatMap { j =>
           val blockLast = if (j + 1 < nb) bFirst(j + 1) - 1 else lastDoc
           val from = bOff(j)
           val until = if (j + 1 < nb) bOff(j + 1) else blob.length
           val bytes = java.util.Arrays.copyOfRange(blob, from, until)
-          val count = math.min(Codec.BlockSize, nPost - j * Codec.BlockSize)
           val r0 = (bFirst(j) / rangeSize).toInt
           val r1 = (blockLast / rangeSize).toInt
           (r0 to r1).iterator.map(r =>
-            (r, term, bytes, bFirst(j), count, bMaxTf(j), bMinDl(j)))
+            (r, term, bytes, bFirst(j), bN(j), bMaxTf(j), bMinDl(j)))
         }
       }
       .toDF("rangeId", "term", "bytes", "bFirst", "bCount", "bMaxTf", "bMinDl")

@@ -32,11 +32,11 @@ object Mains {
 /** Index job: pages parquet (or `synthetic:N` for the deterministic
   * corpus) → resumable index build at `outDir`.
   *
-  * Usage: IndexMain <input> <outDir> [numSlices] [heavyTermDf]
+  * Usage: IndexMain <input> <outDir> [numSlices] [numBuckets]
   */
 object IndexMain {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: IndexMain <pagesParquet|synthetic:N> <outDir> [slices] [heavyDf]")
+    require(args.length >= 2, "usage: IndexMain <pagesParquet|synthetic:N> <outDir> [slices] [buckets]")
     val spark = Mains.session("graft-index")
     val pages =
       if (args(0).startsWith("synthetic:"))
@@ -45,7 +45,7 @@ object IndexMain {
       else spark.read.parquet(args(0))
     val conf = BuildConf(
       numSlices = if (args.length > 2) args(2).toInt else 8,
-      heavyTermDf = if (args.length > 3) args(3).toLong else 100000L,
+      numBuckets = if (args.length > 3) args(3).toInt else 32,
       shufflePartitions = spark.sparkContext.defaultParallelism)
     val t0 = System.nanoTime()
     IndexStore.build(pages, args(1), conf)
@@ -145,5 +145,77 @@ object QueryMain {
       results.foreach(r => w.println(r.formatted))
     } finally w.close()
     spark.stop()
+  }
+}
+
+/** Per-stage build profiler: replicates graft.Bench's scaling methodology
+  * (fresh session per level, in-JVM warm-up, repeated timed builds on
+  * tmpfs) but prints the GRAFT_BUILD_TIMING stage breakdown per run so
+  * non-scaling stages are visible.
+  *
+  * Usage: BuildProf <cpusCsv> <numDocs> [runsPerLevel]
+  */
+object BuildProf {
+  def main(args: Array[String]): Unit = {
+    val levels = args(0).split(',').toSeq
+    val docs = args(1).toLong
+    val runs = if (args.length > 2) args(2).toInt else 2
+    val base = "/dev/shm/graft-prof/stores"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+    levels.foreach { level =>
+      // "8" → local[8]; "2x4" → local-cluster[2,4,...] (2 executor JVMs
+      // à 4 cores — the multi-executor stand-in with isolated heaps)
+      val (master, cpus) = if (level.contains('x')) {
+        val Array(ex, co) = level.split('x').map(_.toInt)
+        (s"local-cluster[$ex,$co,6144]", ex * co)
+      } else (s"local[${level.toInt}]", level.toInt)
+      val builder0 = org.apache.spark.sql.SparkSession.builder()
+        .master(master).appName(s"graft-prof-$level")
+      // local-cluster forks real executor JVMs: ship the app jar to them
+      val builder = if (master.startsWith("local-cluster"))
+        builder0.config("spark.jars", sys.env.getOrElse("SPARK_GRAFT_JAR",
+          s"${new java.io.File(".").getCanonicalPath}/target/scala-2.13/yairsspark_2.13-0.1.0.jar"))
+          .config("spark.executor.memory", "5g") // worker mem ≠ executor heap
+      else builder0
+      val spark = builder
+        .config("spark.sql.shuffle.partitions", cpus.toString)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.local.dir", s"$base/shuffle-$cpus")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      // per-stage utilization: task-time vs wall tells barrier/straggler
+      // problems apart from GC and shuffle-wait problems
+      val agg = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val m = sc.stageInfo.taskMetrics
+            if (m != null && sys.env.contains("GRAFT_BUILD_TIMING")) {
+              val wall = (for {
+                s <- sc.stageInfo.submissionTime; e <- sc.stageInfo.completionTime
+              } yield e - s).getOrElse(0L)
+              println(f"[stage ${sc.stageInfo.stageId}%3d] ${sc.stageInfo.numTasks}%4d tasks wall=${wall / 1e3}%6.1fs run=${m.executorRunTime / 1e3}%7.1fs cpu=${m.executorCpuTime / 1e9}%7.1fs gc=${m.jvmGCTime / 1e3}%6.1fs shufW=${m.shuffleWriteMetrics.bytesWritten / 1e6}%8.1fM shufR=${m.shuffleReadMetrics.totalBytesRead / 1e6}%8.1fM fetchWait=${m.shuffleReadMetrics.fetchWaitTime / 1e3}%5.1fs util=${if (wall > 0) m.executorRunTime.toDouble / wall / cpus else 0}%4.2f  ${sc.stageInfo.name.take(60)}")
+            }
+          }
+        })
+      val conf = graft.index.BuildConf(numSlices = 1,
+        numBuckets = math.max(8, cpus), termBuckets = 32,
+        shufflePartitions = cpus)
+      def once(tag: String, n: Long): Unit = {
+        val dir = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(base), s"p$cpus-").toString
+        val pages = SyntheticCorpus.pages(spark, n, cpus * 2).toDF()
+        val t0 = System.nanoTime()
+        IndexStore.build(pages, dir, conf)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"== $master $tag: $dt%.2f s  (${n / dt}%.0f docs/s)")
+      }
+      once("warmup", math.max(4000L, docs / 10))
+      (1 to runs).foreach(i => once(s"run$i", docs))
+      spark.stop()
+    }
   }
 }

@@ -37,43 +37,39 @@ object StreamingIndexer {
   }
 
   /** Process one micro-batch: assign docIds from the high-water mark,
-    * append docmap shard + postings slice, commit the batch manifest.
+    * append docmap shard + minisegs slice, commit the batch manifest.
     * Public so tests and foreachBatch share the exact code path.
+    *
+    * Buckets use the FIXED conf.streamBucketDocs range size (total doc
+    * count is unknown while ingesting; the value must stay constant for a
+    * store's lifetime so bucket ranges never overlap across batches).
     */
   def processBatch(batch: DataFrame, batchId: Long, out: String,
                    conf: BuildConf): Unit = {
-    val stage = s"postings-batch-$batchId"
+    val stage = s"minisegs-batch-$batchId"
     if (IndexStore.isCommitted(out, stage)) return // replay after recovery
-    val spark = batch.sparkSession
     val filtered = conf.langFilter
       .map(l => batch.filter(col("lang") === l)).getOrElse(batch)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = readHwm(out)
+    val (ids, release) =
+      IndexStore.assignDocIds(filtered, conf.shufflePartitions, base)
     try {
-      val base = readHwm(out)
-      val ids = IndexStore.assignDocIds(filtered, conf.shufflePartitions, base)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n = ids.count()
-      ids.write.mode(SaveMode.Overwrite).parquet(s"$out/docmap/batch=$batchId")
-      val obs = org.apache.spark.sql.Observation(s"batch-$batchId")
-      IndexBuilder.buildPostingsEncoded(
-        IndexStore.fieldDocs(filtered.join(ids, "url")))
-        .observe(obs,
-          count(lit(1)).as("postings"),
-          sum(col("tf")).cast("long").as("tokens"))
+      val dObs = org.apache.spark.sql.Observation(s"docmap-b$batchId")
+      ids.observe(dObs, count(lit(1)).as("docs"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/docmap/batch=$batchId")
+      val n = dObs.get("docs").asInstanceOf[Long]
+      val (obs, aggs) = IndexStore.miniObs(s"batch-$batchId")
+      IndexBuilder.miniSegments(ids, conf.streamBucketDocs).toDF()
+        .observe(obs, aggs.head, aggs.tail: _*)
         .write.mode(SaveMode.Overwrite)
-        .parquet(s"$out/postings/slice=b$batchId")
-      val m = obs.get
+        .parquet(s"$out/minisegs/slice=b$batchId")
       // commit order matters: hwm first, then the manifest that marks the
       // batch done — a crash in between replays the batch onto the same
       // (already-written, overwritten) outputs with a fresh hwm window
       writeHwm(out, base + n)
-      IndexStore.commit(out, stage, Map(
-        "docs" -> n,
-        "docIdBase" -> base,
-        "postings" -> m("postings").asInstanceOf[Long],
-        "tokens" -> m("tokens").asInstanceOf[Long]))
-      ids.unpersist()
-    } finally filtered.unpersist()
+      IndexStore.commit(out, stage,
+        IndexStore.miniCounters(obs.get) + ("docIdBase" -> base))
+    } finally release()
   }
 
   /** Total docs ingested so far (the docId high-water mark). */

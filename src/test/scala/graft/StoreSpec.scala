@@ -18,19 +18,19 @@ class StoreSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft-store").toString
     val pages = SyntheticCorpus.pages(spark, NumDocs, 8).toDF()
     IndexStore.build(pages, dir,
-      BuildConf(numSlices = 4, heavyTermDf = 50, numBuckets = 4,
+      BuildConf(numSlices = 4, numBuckets = 4,
         termBuckets = 16, shufflePartitions = 8))
     dir
   }
   lazy val pIndex: ParquetIndex = IndexStore.open(spark, outDir, 16)
 
-  /** In-memory index over the same (lang=en) pages for cross-checking. */
+  /** In-memory index over the same (lang=en) pages for cross-checking
+    * (docmap doubles as the id-carrying corpus copy).
+    */
   lazy val memIndex: DfIndex = {
-    val pages = SyntheticCorpus.pages(spark, NumDocs, 8).toDF()
-      .filter(col("lang") === "en")
     val docmap = spark.read.parquet(s"$outDir/docmap")
     IndexBuilder.inMemory(
-      IndexBuilder.buildPostings(IndexStore.fieldDocs(pages.join(docmap, "url"))))
+      IndexBuilder.buildPostings(IndexStore.fieldDocs(docmap)))
   }
 
   test("stats match in-memory build") {
@@ -83,34 +83,38 @@ class StoreSpec extends AnyFunSuite {
 
   test("manifests carry counters and all stages commit") {
     val stages = Seq("docmap", "termstats", "segments", "docstats",
-      "collstats") ++ (0 until 4).map(i => s"postings-slice-$i")
+      "collstats") ++ (0 until 4).map(i => s"minisegs-slice-$i")
     stages.foreach(s => assert(IndexStore.isCommitted(outDir, s), s))
-    val m = IndexStore.readManifest(outDir, "postings-slice-0").get
-    assert(m.contains("\"postings\"") && m.contains("\"docsApprox\"") &&
+    val m = IndexStore.readManifest(outDir, "minisegs-slice-0").get
+    assert(m.contains("\"postings\"") && m.contains("\"docs\"") &&
       m.contains("\"tokens\""))
     val seg = IndexStore.readManifest(outDir, "segments").get
     assert(seg.contains("\"bytes\"") && seg.contains("\"postings\""))
+    // slice doc counters sum to the docmap count (exact, from sentinels)
+    val sliceDocs = (0 until 4).map(i =>
+      IndexStore.manifestCounter(outDir, s"minisegs-slice-$i", "docs")).sum
+    assert(sliceDocs == IndexStore.manifestCounter(outDir, "docmap", "docs"))
   }
 
   test("resume skips committed slices and reproduces identical output") {
     outDir // force build
     // wipe one slice's manifest + output: rebuild must redo ONLY that work
-    val victim = s"$outDir/_manifests/postings-slice-2.json"
+    val victim = s"$outDir/_manifests/minisegs-slice-2.json"
     val before = Files.getLastModifiedTime(
-      Paths.get(s"$outDir/_manifests/postings-slice-1.json"))
+      Paths.get(s"$outDir/_manifests/minisegs-slice-1.json"))
     val sliceCountBefore = spark.read
-      .parquet(s"$outDir/postings/slice=2").count()
+      .parquet(s"$outDir/minisegs/slice=2").count()
     Files.delete(Paths.get(victim))
     val pages = SyntheticCorpus.pages(spark, NumDocs, 8).toDF()
     IndexStore.build(pages, outDir,
-      BuildConf(numSlices = 4, heavyTermDf = 50, numBuckets = 4,
+      BuildConf(numSlices = 4, numBuckets = 4,
         termBuckets = 16, shufflePartitions = 8))
     // untouched slice not recomputed (manifest mtime unchanged)
     assert(Files.getLastModifiedTime(
-      Paths.get(s"$outDir/_manifests/postings-slice-1.json")) == before)
+      Paths.get(s"$outDir/_manifests/minisegs-slice-1.json")) == before)
     // recomputed slice identical (deterministic)
-    assert(spark.read.parquet(s"$outDir/postings/slice=2").count() ==
+    assert(spark.read.parquet(s"$outDir/minisegs/slice=2").count() ==
       sliceCountBefore)
-    assert(IndexStore.isCommitted(outDir, "postings-slice-2"))
+    assert(IndexStore.isCommitted(outDir, "minisegs-slice-2"))
   }
 }

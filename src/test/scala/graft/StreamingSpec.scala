@@ -16,7 +16,7 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   val NumDocs = 240L
-  val conf = BuildConf(numSlices = 2, heavyTermDf = 50, numBuckets = 4,
+  val conf = BuildConf(numSlices = 2, numBuckets = 4,
     termBuckets = 16, shufflePartitions = 4)
 
   lazy val outDir: String = {
@@ -44,7 +44,7 @@ class StreamingSpec extends AnyFunSuite {
   test("each micro-batch commits a slice + docmap shard with counters") {
     outDir
     (0 until 3).foreach { b =>
-      val m = IndexStore.readManifest(outDir, s"postings-batch-$b")
+      val m = IndexStore.readManifest(outDir, s"minisegs-batch-$b")
       assert(m.isDefined, s"batch $b manifest")
       assert(m.get.contains("\"docs\"") && m.get.contains("\"docIdBase\""))
     }
@@ -83,13 +83,13 @@ class StreamingSpec extends AnyFunSuite {
   test("replayed batch is skipped (idempotent recovery)") {
     outDir
     val before = java.nio.file.Files.getLastModifiedTime(
-      java.nio.file.Paths.get(s"$outDir/_manifests/postings-batch-1.json"))
+      java.nio.file.Paths.get(s"$outDir/_manifests/minisegs-batch-1.json"))
     import spark.implicits._
     // simulate checkpoint replay of batch 1 with the same data
     val replay = (80L until 160L).map(SyntheticCorpus.page).toDF()
     StreamingIndexer.processBatch(replay, 1L, outDir, conf)
     assert(java.nio.file.Files.getLastModifiedTime(
-      java.nio.file.Paths.get(s"$outDir/_manifests/postings-batch-1.json")) == before)
+      java.nio.file.Paths.get(s"$outDir/_manifests/minisegs-batch-1.json")) == before)
     // high-water mark unchanged: no docIds leaked
     val hwm = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$outDir/_manifests/docid-hwm")).trim.toLong

@@ -16,7 +16,7 @@ class WandSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft-wand").toString
     val pages = SyntheticCorpus.pages(spark, 600, 8).toDF()
     IndexStore.build(pages, dir,
-      BuildConf(numSlices = 2, heavyTermDf = 50, numBuckets = 4,
+      BuildConf(numSlices = 2, numBuckets = 4,
         termBuckets = 16, shufflePartitions = 8))
     dir
   }
