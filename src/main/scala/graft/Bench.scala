@@ -12,7 +12,7 @@ import graft.query._
   *    [8,4,..]`: Spark standalone master/workers forking separate executor
   *    processes with their own heaps, the honest sandbox stand-in for the
   *    north rule's N vs 4N executors) — with per-level JIT warm-up and
-  *    best-of-2 timing,
+  *    time-boxed best-of-N timing (see buildThroughput),
   *  - a hardware calibration factor: this single box loses per-thread CPU
   *    throughput going lo→hi threads even on a pure register-only loop
   *    (host contention / memory bandwidth — measured, not assumed), so the
@@ -85,7 +85,7 @@ object Bench {
     numDocs / ((System.nanoTime() - t0) / 1e9)
   }
 
-  /** Best-of-2 build throughput with `executors` executor JVMs, after a
+  /** Best-of-N build throughput with `executors` executor JVMs, after a
     * JIT warm-up build (each executor process JITs independently).
     */
   private def buildThroughput(executors: Int, numDocs: Long): Double = {
@@ -97,7 +97,7 @@ object Bench {
     // five identical back-to-back runs), so a fixed best-of-3 can sit
     // entirely inside one trough; repeating for a fixed wall budget and
     // taking the max samples across trough boundaries
-    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "150").toInt
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "120").toInt
     val t0 = System.nanoTime()
     var best = 0.0
     var runs = 0
