@@ -166,6 +166,8 @@ object Bench {
       (0 until 27).map(i => s"w${i * 3} w${i * 7 + 1} w${(i * 131) % 2000}")
 
   def main(args: Array[String]): Unit = {
+    // numeric JSON must be '.'-decimal regardless of host locale
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // N vs 4N EXECUTORS (separate JVMs), 4 cores each: 8 vs 2 on this box
@@ -239,8 +241,12 @@ object Bench {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(scratch("stores"))).deleteRecursively()
     } catch { case _: Throwable => }
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","index_build":{"docs":$numDocs,"thru_lo_docs_per_sec":$thruLo%.1f,"thru_hi_docs_per_sec":$thruHi%.1f,"executors_lo":$exLo,"executors_hi":$exHi,"cpus_lo":$lo,"cpus_hi":$hi,"scaling_efficiency":$efficiency%.3f,"hw_cpu_scaling_factor":$hwCpuFactor%.3f,"hw_mem_bw_scaling_factor":$hwMemFactor%.3f,"hw_mem_bw_agg_gbps_lo":$memLo%.1f,"hw_mem_bw_agg_gbps_hi":$memHi%.1f,"scaling_efficiency_hw_normalized":$efficiencyNorm%.3f},"bm25_top10_p50_sec":{"exact":${p50(exactTimes)}%.3f,"wand":${p50(wandTimes)}%.3f}}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","index_build":{"docs":$numDocs,"thru_lo_docs_per_sec":$thruLo%.1f,"thru_hi_docs_per_sec":$thruHi%.1f,"executors_lo":$exLo,"executors_hi":$exHi,"cpus_lo":$lo,"cpus_hi":$hi,"scaling_efficiency":$efficiency%.3f,"hw_cpu_scaling_factor":$hwCpuFactor%.3f,"hw_mem_bw_scaling_factor":$hwMemFactor%.3f,"hw_mem_bw_agg_gbps_lo":$memLo%.1f,"hw_mem_bw_agg_gbps_hi":$memHi%.1f,"scaling_efficiency_hw_normalized":$efficiencyNorm%.3f},"bm25_top10_p50_sec":{"exact":${p50(exactTimes)}%.3f,"wand":${p50(wandTimes)}%.3f}}"""
+    // a bare file copy too: stdout goes through sbt's [info] prefix, which
+    // round 1 showed the driver's JSON extraction can trip over
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json)
+    println(json)
     spark.stop()
   }
 }

@@ -24,13 +24,22 @@ object IrQueries {
   private val boolParser = new QueryParser(defaultOp = QOp.OR)
   private val indriParser = new QueryParser(defaultOp = QOp.AND)
 
+  /** Parse + prefetch stats (one job for the query's whole leaf set) +
+    * lower. Shared by every evaluation-shaped gate.
+    */
+  private def lowerQ(spark: SparkSession, sfDir: String, model: Model,
+                     parser: QueryParser, q: String): DataFrame = {
+    val e = engine(spark, sfDir, model)
+    val root = parser.parse(q)
+    e.index.prefetchStats(e.collectLeaves(root))
+    e.lower(root).df
+  }
+
   /** Evaluate `q` and return (doc_id, score6) for every retrieved doc. */
   private def eval(spark: SparkSession, sfDir: String, model: Model,
-                   parser: QueryParser, q: String): DataFrame = {
-    val e = engine(spark, sfDir, model)
-    e.lower(parser.parse(q)).df
+                   parser: QueryParser, q: String): DataFrame =
+    lowerQ(spark, sfDir, model, parser, q)
       .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
-  }
 
   /** Top-k with rank (T1 order: score desc, docId desc). */
   private def topk(spark: SparkSession, sfDir: String, model: Model,
@@ -155,33 +164,24 @@ GROUP BY 1""")),
     // is sequential — no SQL oracle; driver does the rows-only check, exact
     // semantics are pinned by the ScalaTest reference oracle).
     GateQuery("q_ir_near",
-      (s, d) => {
-        val e = engine(s, d, BM25())
-        e.lower(bm25Parser.parse("#near/2(key value)")).df
-          .select(col("docId").as("doc_id"), col("tf"),
-            round(col("score"), 6).as("score"))
-      },
+      (s, d) => lowerQ(s, d, BM25(), bm25Parser, "#near/2(key value)")
+        .select(col("docId").as("doc_id"), col("tf"),
+          round(col("score"), 6).as("score")),
       None),
 
     // J7: #UW/4 unordered window (same story — rows-only).
     GateQuery("q_ir_uw",
-      (s, d) => {
-        val e = engine(s, d, Indri())
-        e.lower(indriParser.parse("#uw/4(key value table)")).df
-          .select(col("docId").as("doc_id"), col("tf"),
-            round(col("score"), 6).as("score"))
-      },
+      (s, d) => lowerQ(s, d, Indri(), indriParser, "#uw/4(key value table)")
+        .select(col("docId").as("doc_id"), col("tf"),
+          round(col("score"), 6).as("score")),
       None),
 
     // SDM-shaped nested query (WEIGHT over AND/NEAR/UW) — rows-only.
     GateQuery("q_ir_sdm",
-      (s, d) => {
-        val e = engine(s, d, Indri())
-        e.lower(indriParser.parse(
-          "#weight( 0.8 #and( key value ) 0.1 #and( #near/1( key value ) ) 0.1 #and( #uw/8( key value ) ) )")).df
-          .select(col("docId").as("doc_id"),
-            round(col("score"), 6).as("score"))
-      },
+      (s, d) => lowerQ(s, d, Indri(), indriParser,
+        "#weight( 0.8 #and( key value ) 0.1 #and( #near/1( key value ) ) 0.1 #and( #uw/8( key value ) ) )")
+        .select(col("docId").as("doc_id"),
+          round(col("score"), 6).as("score")),
       None)
   )
 }

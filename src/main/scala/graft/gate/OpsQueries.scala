@@ -126,7 +126,7 @@ cs AS (
   SELECT id_a, id_b,
          sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
   FROM pr GROUP BY 1, 2)
-SELECT id_a, id_b, round(c, 6) AS cosine FROM cs WHERE round(c, 6) >= 0.35""")),
+SELECT id_a, id_b, round(c, 6) AS cosine FROM cs WHERE c >= 0.35""")),
 
     // --- similarity search ------------------------------------------------
     GateQuery("q_op_ann_brute",

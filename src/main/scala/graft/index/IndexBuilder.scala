@@ -206,6 +206,21 @@ class DfIndex(val postingsDf: DataFrame, val termStatsDf: DataFrame,
   private val statCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), (Long, Long)]
 
+  /** One stats job for the whole query's leaf set (instead of one collect
+    * per leaf — an SDM query references each term ~3×).
+    */
+  override def prefetchStats(pairs: Seq[(String, String)]): Unit = {
+    val missing = pairs.distinct.filterNot(statCache.contains)
+    if (missing.isEmpty) return
+    val cond = missing.map { case (t, f) =>
+      col("term") === t && col("field") === f }.reduce(_ || _)
+    val found = termStatsDf.filter(cond)
+      .select("term", "field", "df", "cf").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    missing.foreach(p => statCache.put(p, found.getOrElse(p, (0L, 0L))))
+  }
+
   def postings(term: String, field: String): DataFrame =
     postingsDf.filter(col("term") === term && col("field") === field)
       .select("docId", "tf", "dl", "positions")

@@ -53,7 +53,8 @@ object model {
   case class TrecResult(queryId: String, docId: Long, rank: Int,
                         score: Double, runId: String) {
     def formatted: String =
-      s"$queryId\tQ0\t$docId\t$rank\t${"%.6f".format(score)}\t$runId"
+      s"$queryId\tQ0\t$docId\t$rank\t${String.format(java.util.Locale.ROOT,
+        "%.6f", Double.box(score))}\t$runId"
   }
 
   object TrecResult {

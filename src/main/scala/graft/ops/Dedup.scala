@@ -46,12 +46,16 @@ object Dedup {
     * would otherwise pair everything with everything).
     */
   def ngramJaccard(docs: DataFrame, w: Int = 3, threshold: Double = 0.8,
-                   maxShingleDf: Long = 1000000L): DataFrame = {
+                   maxShingleDf: Long = 10000L): DataFrame = {
     val sh = shingles(docs, w)
-    val capped = sh.withColumn("sdf",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy("shingle")))
-      .filter(col("sdf") <= maxShingleDf).drop("sdf")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Frequent (boilerplate) shingles are the Zipf head: FEW distinct
+    // shingles, each in many docs. groupBy-count them (map-side combine,
+    // one narrow agg — no full sort-shuffle like a window) and broadcast
+    // the tiny frequent set as an anti join.
+    val frequent = sh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
+      .filter(col("sdf") > maxShingleDf).select("shingle")
+    val capped = sh.join(broadcast(frequent), Seq("shingle"), "left_anti")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = capped.as("a").join(capped.as("b"),
         col("a.shingle") === col("b.shingle") &&
@@ -63,10 +67,12 @@ object Dedup {
         .withColumnRenamed("sz", "sz_a"), "id_a")
       .join(sizes.withColumnRenamed("doc_id", "id_b")
         .withColumnRenamed("sz", "sz_b"), "id_b")
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("sz_a") + col("sz_b") - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .withColumn("jacraw", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")))
+      // threshold on the RAW jaccard (the oracle filters raw); round only
+      // the projected column
+      .filter(col("jacraw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jacraw"), 6).as("jaccard"))
   }
 
   /** Deterministic 64-bit hash of a string (shared by MinHash/SimHash and
@@ -157,14 +163,30 @@ object Dedup {
       .select(col("doc_id"), simUdf(col("toks")).as("simhash"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidates
-    * via 16-bit quarter bands (any pair within Hamming 3 shares a quarter).
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
+    *
+    * Candidate generation is recall-COMPLETE for the given radius: the 64
+    * signature bits are split into `maxHamming + 1` disjoint bands, so a
+    * pair within Hamming maxHamming has at least one band with zero
+    * differing bits (pigeonhole) and collides there. The banded join is
+    * linear in collisions — never an all-pairs join.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    val nBands = maxHamming + 1
+    // distribute 64 bits over nBands bands (widths differ by at most 1)
+    val widths = Array.tabulate(nBands)(i =>
+      64 / nBands + (if (i < 64 % nBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val bandCols = (0 until nBands).map { q =>
+      val mask = if (widths(q) == 64) -1L else (1L << widths(q)) - 1L
+      shiftrightunsigned(col("simhash"), offsets(q)).bitwiseAND(lit(mask))
+    }
     val sh = simhash(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sh.select(col("doc_id"), col("simhash"), posexplode(
-      expr("transform(sequence(0, 3), q -> (simhash >> (q * 16)) & 65535)")))
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array(bandCols: _*)))
       .select(col("doc_id"), col("simhash"), col("pos").as("band"), col("col").as("bucket"))
     val ham = udf { (a: Long, b: Long) => java.lang.Long.bitCount(a ^ b) }
     banded.as("a").join(banded.as("b"),

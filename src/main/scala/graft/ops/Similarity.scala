@@ -54,10 +54,15 @@ object Similarity {
     val joined = emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosineCol(col("qvec"), col("embedding")), 6).as("cosine"))
+        cosineCol(col("qvec"), col("embedding")).as("cosraw"))
+    // rank by the RAW cosine (matching the oracle's ORDER BY); round only
+    // the projected column — two raw values rounding equal must not be
+    // allowed to swap ranks vs the oracle
     val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      .orderBy(col("cosraw").desc, col("neighbor_id").asc)
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosraw"), 6).as("cosine"), col("rank"))
   }
 
   /** Deterministic random-hyperplane sign signatures: `nTables`
@@ -65,26 +70,50 @@ object Similarity {
     * standard recall lever: a true neighbor is a candidate if it collides
     * in ANY table). One row per (vec_id, table) with its bucket.
     */
+  /** Per-executor hyperplane coefficient cache: the matrix is constant
+    * across the dataset, so it is derived ONCE per (seed, tables, bits,
+    * dim) per JVM instead of per row (nTables × nBits × dim splitmix
+    * mixes per vector otherwise — measured as most of the LSH wall time).
+    * Row layout: planes(t * nBits + b)(i); coefficient ~ U(-1, 1) pinned by
+    * (seed, table, bit, dim) — the exact formula the DuckDB oracle mirrors.
+    */
+  private object Hyperplanes {
+    private val cache = scala.collection.concurrent.TrieMap
+      .empty[(Long, Int, Int, Int), Array[Array[Double]]]
+    def get(seed: Long, nTables: Int, nBits: Int, dim: Int): Array[Array[Double]] =
+      cache.getOrElseUpdate((seed, nTables, nBits, dim),
+        Array.tabulate(nTables * nBits) { tb =>
+          val t = tb / nBits
+          val b = tb % nBits
+          Array.tabulate(dim) { i =>
+            val h = mix(seed * 1000003L + (t.toLong * 64 + b) * 131 + i)
+            ((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+          }
+        })
+  }
+
   def lshBuckets(emb: DataFrame, nBits: Int = 12, nTables: Int = 4,
                  seed: Long = 5L): DataFrame = {
     val sigUdf = udf { (v: Seq[Float]) =>
-      (0 until nTables).map { t =>
+      val planes = Hyperplanes.get(seed, nTables, nBits, v.length)
+      val vec = v.toArray
+      val out = new Array[Int](nTables)
+      var t = 0
+      while (t < nTables) {
         var bucket = 0
         var b = 0
         while (b < nBits) {
+          val plane = planes(t * nBits + b)
           var dot = 0.0
           var i = 0
-          while (i < v.length) {
-            // hyperplane coefficient ~ U(-1,1), pinned by (seed, table, bit, dim)
-            val h = mix(seed * 1000003L + (t.toLong * 64 + b) * 131 + i)
-            dot += v(i) * (((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0)
-            i += 1
-          }
+          while (i < vec.length) { dot += vec(i) * plane(i); i += 1 }
           if (dot >= 0) bucket |= (1 << b)
           b += 1
         }
-        bucket
+        out(t) = bucket
+        t += 1
       }
+      out
     }
     emb.withColumn("sigs", sigUdf(col("embedding")))
       .select(col("*"), posexplode(col("sigs")))
@@ -107,11 +136,13 @@ object Similarity {
         col("table") === col("qtable") && col("bucket") === col("qbucket") &&
           col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosineCol(col("qvec"), col("embedding")), 6).as("cosine"))
+        cosineCol(col("qvec"), col("embedding")).as("cosraw"))
       .distinct()
     val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      .orderBy(col("cosraw").desc, col("neighbor_id").asc)
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosraw"), 6).as("cosine"), col("rank"))
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
@@ -136,7 +167,8 @@ object Similarity {
             col("embedding").as("emb_b")), col("id_a") < col("id_b"))
       }
     pairs.select(col("id_a"), col("id_b"),
-        round(cosineCol(col("emb_a"), col("emb_b")), 6).as("cosine"))
-      .filter(col("cosine") >= threshold)
+        cosineCol(col("emb_a"), col("emb_b")).as("cosraw"))
+      .filter(col("cosraw") >= threshold) // raw threshold, like the oracle
+      .select(col("id_a"), col("id_b"), round(col("cosraw"), 6).as("cosine"))
   }
 }

@@ -36,10 +36,29 @@ import graft.index.SearchIndex
   * Every lowered node carries its defaultScore (driver-side Double) — the
   * absent-term correction of the k-way merge.
   */
-class Engine(index: SearchIndex, val model: Model,
+class Engine(val index: SearchIndex, val model: Model,
              val defaultField: String = "default") extends Serializable {
 
   val scorer = new Scorer(model, index.collStats)
+
+  /** DataFrames persisted by positional rescoring (rescoreVirtual), pending
+    * release. Persisting spans two passes (stats collect, then consumption);
+    * callers that materialize results (searchAll, QueryMain) call
+    * releaseCaches() afterwards so a long run over many positional queries
+    * does not accumulate cache entries (one entry per NEAR/UW node
+    * otherwise lives for the session).
+    */
+  @transient private val pinned =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Unpersist every DataFrame pinned by positional evaluation since the
+    * last release. Safe while downstream plans are still referenced — they
+    * recompute instead of reading cache.
+    */
+  def releaseCaches(): Unit = {
+    var df = pinned.poll()
+    while (df != null) { df.unpersist(blocking = false); df = pinned.poll() }
+  }
 
   private val postingsSchema = StructType(Seq(
     StructField("docId", LongType, nullable = false),
@@ -187,6 +206,7 @@ class Engine(index: SearchIndex, val model: Model,
       m.unpersist()
       return emptyLowered
     }
+    pinned.add(m)
     val scored = m.select(
       col("docId"),
       scorer.termScoreCol(cfV, dfV, col("tf"), col("dl")).as("score"),
@@ -241,15 +261,41 @@ class Engine(index: SearchIndex, val model: Model,
 
   // ------------------------------------------------------------- recursion
 
-  def lower(node: QNode): Lowered = node match {
-    case l: QLeaf => lowerLeaf(l)
-    case QInner(op, prox, kids, weights) =>
-      // stop-leaf children pruned at evaluation, not parse
-      // (StructuredRetriever.scala:29-33)
-      val keptPairs = kids.zipWithIndex.filterNot(_._1.isStopLeaf)
-      val kept = keptPairs.map(_._1)
-      if (kept.isEmpty) return emptyLowered
-      val lowered = kept.map(lower)
+  /** Lower with per-query leaf memoization: an SDM-shaped query references
+    * each term several times (unigram + NEAR + UW branches); without the
+    * memo every reference is its own postings scan + stat lookup (the
+    * reference re-reads each `.inv` file per reference — SURVEY §4). A leaf
+    * referenced more than once is persisted so the scan runs once.
+    */
+  def lower(node: QNode): Lowered = {
+    val counts = collectLeaves(node).groupBy(identity).view.mapValues(_.size)
+    val memo = scala.collection.mutable.HashMap.empty[(String, String), Lowered]
+    def rec(n: QNode): Lowered = n match {
+      case l: QLeaf =>
+        memo.getOrElseUpdate((l.term, l.field), {
+          val lw = lowerLeaf(l)
+          if (counts.getOrElse((l.term, l.field), 1) > 1) {
+            val p = lw.df.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            pinned.add(p)
+            Lowered(p, lw.default)
+          } else lw
+        })
+      case inner: QInner => lowerInner(inner, rec)
+    }
+    rec(node)
+  }
+
+  private def lowerInner(node: QInner, rec: QNode => Lowered): Lowered = {
+    val op = node.op
+    val prox = node.prox
+    val weights = node.weights
+    // stop-leaf children pruned at evaluation, not parse
+    // (StructuredRetriever.scala:29-33)
+    val kept = node.children.filterNot(_.isStopLeaf)
+    if (kept.isEmpty) emptyLowered
+    else {
+      val lowered = kept.map(rec)
       op match {
         case QOp.OR => model match {
           case Bool(_) => boolOr(lowered)
@@ -278,9 +324,14 @@ class Engine(index: SearchIndex, val model: Model,
           case _ => uw(lowered, prox)
         }
       }
+    }
   }
 
-  private def collectLeaves(node: QNode): List[(String, String)] = node match {
+  /** All (term, field) leaves of a query tree in order (stop leaves
+    * included — they are pruned at evaluation, prefetching their stats is
+    * harmless).
+    */
+  def collectLeaves(node: QNode): List[(String, String)] = node match {
     case QLeaf(t, f, _)        => List((t, f))
     case QInner(_, _, kids, _) => kids.flatMap(collectLeaves)
   }
@@ -319,7 +370,9 @@ class Engine(index: SearchIndex, val model: Model,
   def searchAll(queries: Seq[(String, String)], numResults: Int,
                 parser: QueryParser, runId: String): Seq[graft.model.TrecResult] =
     queries.flatMap { case (qid, q) =>
-      search(q, numResults, parser).collect().map { r =>
+      val rows = search(q, numResults, parser).collect()
+      releaseCaches() // positional rescoring pins caches per query
+      rows.map { r =>
         graft.model.TrecResult(qid, r.getAs[Long]("docId"),
           r.getAs[Int]("rank"), r.getAs[Double]("score"), runId)
       }

@@ -120,21 +120,36 @@ object QueryMain {
     val queries = scala.io.Source.fromFile(queryFile).getLines()
       .filter(_.nonEmpty).map(QueryParser.parseQueryLine).toList
 
+    // WAND is rank-identical to the exact engine ONLY for a flat,
+    // duplicate-free, non-stop, default-field bag of words under #SUM
+    // (Wand.bm25TopK dedups repeated terms and has no nested-operator or
+    // field semantics). Any other shape silently diverging is worse than
+    // being slower: fall back to the exact engine per query.
+    def wandEligible(node: QNode): Option[Seq[String]] = node match {
+      case QInner(QOp.SUM | QOp.AND, _, kids, _) =>
+        val terms = kids.collect { case QLeaf(t, "default", false) => t }
+        if (terms.length == kids.length && terms.distinct.length == terms.length)
+          Some(terms)
+        else None
+      case QLeaf(t, "default", false) => Some(List(t))
+      case _ => None
+    }
     val t0 = System.nanoTime()
     val results: Seq[TrecResult] =
       if (useWand && modelName == "bm25") {
         queries.flatMap { case (qid, q) =>
-          val terms = parser.parse(q) match {
-            case QInner(_, _, kids, _) => kids.collect {
-              case QLeaf(t, "default", false) => t
-            }
-            case QLeaf(t, _, _) => List(t)
+          wandEligible(parser.parse(q)) match {
+            case Some(terms) if terms.nonEmpty =>
+              Wand.bm25TopK(spark, index, terms, "default", k).collect()
+                .zipWithIndex.map { case (r, i) =>
+                  TrecResult(qid, r.getAs[Long]("docId"), i + 1,
+                    r.getAs[Double]("score"), runId)
+                }
+            case _ =>
+              System.err.println(
+                s"[query] $qid not a flat unique bag of words; exact path")
+              engine.searchAll(Seq((qid, q)), k, parser, runId)
           }
-          Wand.bm25TopK(spark, index, terms, "default", k).collect()
-            .zipWithIndex.map { case (r, i) =>
-              TrecResult(qid, r.getAs[Long]("docId"), i + 1,
-                r.getAs[Double]("score"), runId)
-            }
         }
       } else engine.searchAll(queries, k, parser, runId)
     println(f"query wall: ${(System.nanoTime() - t0) / 1e9}%.2f s for ${queries.length} queries")

@@ -66,6 +66,24 @@ class OpsSpec extends AnyFunSuite {
     (0L until 5L).foreach(i => assert(pairSet.contains((i, i + 10000))))
   }
 
+  test("simhashPairs is recall-complete: banded output == brute force") {
+    // the contract: output = EXACTLY the pairs with Hamming ≤ maxHamming
+    // (banding with maxHamming+1 disjoint bands guarantees candidate
+    // recall by pigeonhole; the hamming filter removes false positives)
+    val sh = Dedup.simhash(docsWithDups).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    for (maxH <- Seq(0, 3, 8, 12)) {
+      val brute = (for {
+        (ida, ha) <- sh; (idb, hb) <- sh
+        if ida < idb && java.lang.Long.bitCount(ha ^ hb) <= maxH
+      } yield (ida, idb)).toSet
+      val banded = Dedup.simhashPairs(docsWithDups, maxHamming = maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(banded == brute,
+        s"maxHamming=$maxH: missed ${brute -- banded}, extra ${banded -- brute}")
+    }
+  }
+
   /** LSH is a near-neighbor structure: on planted near-duplicate vectors
     * (cosine ≈ 1) it must achieve near-perfect recall; on uniformly random
     * "neighbors" (cosine ≈ 0.3 here) no LSH can — so that is exercised
