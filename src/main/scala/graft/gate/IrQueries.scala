@@ -160,28 +160,27 @@ CROSS JOIN stats s
 WHERE p.term IN ('key', 'value')
 GROUP BY 1""")),
 
-    // J6: #NEAR/2 positional ordered window (greedy advance-both matching
-    // is sequential — no SQL oracle; driver does the rows-only check, exact
-    // semantics are pinned by the ScalaTest reference oracle).
+    // J6: #NEAR/2 positional ordered window. The greedy advance-both kernel
+    // is sequential per doc — the oracle runs it as a recursive CTE.
     GateQuery("q_ir_near",
       (s, d) => lowerQ(s, d, BM25(), bm25Parser, "#near/2(key value)")
         .select(col("docId").as("doc_id"), col("tf"),
           round(col("score"), 6).as("score")),
-      None),
+      Some(PositionalSql.nearOracle("key", "value", 2))),
 
-    // J7: #UW/4 unordered window (same story — rows-only).
+    // J7: #UW/4 unordered window (recursive-CTE oracle, 3 lists).
     GateQuery("q_ir_uw",
       (s, d) => lowerQ(s, d, Indri(), indriParser, "#uw/4(key value table)")
         .select(col("docId").as("doc_id"), col("tf"),
           round(col("score"), 6).as("score")),
-      None),
+      Some(PositionalSql.uwOracle("key", "value", "table", 4))),
 
-    // SDM-shaped nested query (WEIGHT over AND/NEAR/UW) — rows-only.
+    // SDM-shaped nested query (WEIGHT over AND/NEAR/UW).
     GateQuery("q_ir_sdm",
       (s, d) => lowerQ(s, d, Indri(), indriParser,
         "#weight( 0.8 #and( key value ) 0.1 #and( #near/1( key value ) ) 0.1 #and( #uw/8( key value ) ) )")
         .select(col("docId").as("doc_id"),
           round(col("score"), 6).as("score")),
-      None)
+      Some(PositionalSql.sdmOracle("key", "value")))
   )
 }

@@ -110,23 +110,19 @@ WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.5""")),
     GateQuery("q_op_minhash_lsh",
       (s, d) => Dedup.minhashLsh(docs(s, d), w = 3, numHashes = 32,
         bands = 8, threshold = 0.3),
-      None),
+      Some(DuckSql.minhashLshOracle(w = 3, numHashes = 32, bands = 8,
+        threshold = 0.3))),
 
     GateQuery("q_op_simhash",
       (s, d) => Dedup.simhashPairs(docs(s, d), maxHamming = 8),
-      None),
+      Some(DuckSql.simhashOracle(maxHamming = 8))),
 
+    // Scale path gated (LSH bucket collisions, never an all-pairs join);
+    // the exact all-pairs variant stays the recall reference in OpsSpec.
     GateQuery("q_op_embed_dups",
-      (s, d) => Similarity.embeddingDups(emb(s, d), threshold = 0.35),
-      Some("""WITH pr AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
-cs AS (
-  SELECT id_a, id_b,
-         sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
-  FROM pr GROUP BY 1, 2)
-SELECT id_a, id_b, round(c, 6) AS cosine FROM cs WHERE c >= 0.35""")),
+      (s, d) => Similarity.embeddingDups(emb(s, d), threshold = 0.35,
+        useLsh = true, nBits = 8),
+      Some(DuckSql.embedDupsLshOracle(threshold = 0.35, nBits = 8))),
 
     // --- similarity search ------------------------------------------------
     GateQuery("q_op_ann_brute",
@@ -150,7 +146,7 @@ WHERE rank <= 10""")),
     GateQuery("q_op_ann_lsh",
       (s, d) => Similarity.lshTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10,
         nBits = 6),
-      None),
+      Some(DuckSql.annLshOracle(Seq(0L, 1L, 2L, 3L, 4L), 10, nBits = 6))),
 
     // --- multimodal binary plumbing ---------------------------------------
     GateQuery("q_op_mm_meta",
