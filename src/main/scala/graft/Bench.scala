@@ -82,7 +82,13 @@ object Bench {
     val pages = SyntheticCorpus.pages(spark, numDocs, cpus * 2).toDF()
     val t0 = System.nanoTime()
     IndexStore.build(pages, dir, buildConf(cpus))
-    numDocs / ((System.nanoTime() - t0) / 1e9)
+    val thru = numDocs / ((System.nanoTime() - t0) / 1e9)
+    // tmpfs stores MUST be freed per run: best-of-N at full corpus size
+    // would otherwise fill /dev/shm and throttle later samples (measured
+    // as multi-minute reclaim-pressure troughs)
+    try new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    catch { case _: Throwable => }
+    thru
   }
 
   /** Best-of-N build throughput with `executors` executor JVMs, after a
@@ -97,7 +103,7 @@ object Bench {
     // five identical back-to-back runs), so a fixed best-of-3 can sit
     // entirely inside one trough; repeating for a fixed wall budget and
     // taking the max samples across trough boundaries
-    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "120").toInt
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "180").toInt
     val t0 = System.nanoTime()
     var best = 0.0
     var runs = 0
@@ -175,7 +181,11 @@ object Bench {
     val exLo = math.max(1, exHi / 4)
     val hi = exHi * CoresPerExecutor
     val lo = exLo * CoresPerExecutor
-    val numDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "120000").toLong
+    // 480k docs: large enough that per-job fixed latencies (driver
+    // scheduling, partition discovery, manifest commits) amortize the way
+    // they would on a real long build — at 120k they were ~half of the
+    // 4N-level wall and capped any measurable scaling
+    val numDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "480000").toLong
 
     // --- hardware calibration (after a warm-up round) ---------------------
     cpuCalibration(lo, 50000000L)

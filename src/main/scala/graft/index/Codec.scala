@@ -68,15 +68,39 @@ object Codec {
     * tail of the blob format, precomputable at tokenize time so the
     * segment sort/encode stage never materializes position arrays.
     */
-  def encodePositions(positions: Array[Int]): Array[Byte] = {
-    val out = new Output(4 + positions.length * 2)
-    out.writeVInt(positions.length)
+  def encodePositions(positions: Array[Int]): Array[Byte] =
+    encodePositions(positions, positions.length)
+
+  /** Encode the first `n` entries of `positions` (for reusable buffers). */
+  def encodePositions(positions: Array[Int], n: Int): Array[Byte] = {
+    val out = new Output(4 + n * 2)
+    out.writeVInt(n)
     var prev = 0
     var i = 0
-    while (i < positions.length) {
+    while (i < n) {
       out.writeVInt(positions(i) - prev)
       prev = positions(i)
       i += 1
+    }
+    out.toBytes
+  }
+
+  /** Encode the concatenation of two position runs, the second shifted by
+    * `off` — the default field's positions are the title run followed by
+    * the body run at offset |title| (both runs ascending, so deltas stay
+    * non-negative). Byte-identical to encoding the materialized merge.
+    */
+  def encodePositionsMerged(a: Array[Int], an: Int,
+                            b: Array[Int], bn: Int, off: Int): Array[Byte] = {
+    val out = new Output(4 + (an + bn) * 2)
+    out.writeVInt(an + bn)
+    var prev = 0
+    var i = 0
+    while (i < an) { out.writeVInt(a(i) - prev); prev = a(i); i += 1 }
+    i = 0
+    while (i < bn) {
+      val p = b(i) + off
+      out.writeVInt(p - prev); prev = p; i += 1
     }
     out.toBytes
   }

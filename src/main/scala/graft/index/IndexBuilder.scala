@@ -112,20 +112,57 @@ object IndexBuilder {
             last = docId
           }
         }
-        val accs = scala.collection.mutable.HashMap.empty[(String, String), Acc]
-        val emptyRec = Codec.encodePositions(Array.emptyIntArray)
-        def field(docId: Long, f: String, dl: Int,
-                  tv: Map[String, (Int, Array[Int])]): Unit = {
-          accs.getOrElseUpdate(("", f), new Acc("", f))
-            .add(docId, dl, 0, emptyRec) // doclen sentinel
-          tv.foreach { case (t, (tf, pos)) =>
-            accs.getOrElseUpdate((t, f), new Acc(t, f))
-              .add(docId, tf, dl, Codec.encodePositions(pos))
+        // Hot-loop layout (this stage is ~60% of build wall and memory-
+        // bandwidth-bound — every allocation counts at 10^12 docs):
+        //  - one Acc map PER FIELD with plain String keys (no tuple alloc
+        //    or double hash per (term, field) lookup),
+        //  - per-doc term vectors as primitive-int position buffers (a
+        //    generic ArrayBuffer[Int] would box all ~10^3 positions/doc),
+        //  - the default field derived by MERGING the title and body
+        //    vectors (positions concatenate with an offset) instead of
+        //    re-walking — each token is hashed once, not twice.
+        final class PosBuf {
+          var a = new Array[Int](4)
+          var n = 0
+          def add(v: Int): Unit = {
+            if (n == a.length) a = java.util.Arrays.copyOf(a, a.length * 2)
+            a(n) = v; n += 1
           }
         }
+        val fieldNames = Array("default", "title", "body", "url")
+        val accs = Array.fill(4)(new java.util.HashMap[String, Acc])
+        val lenAccs = Array.tabulate(4)(f => new Acc("", fieldNames(f)))
+        def acc(f: Int, term: String): Acc = {
+          var a = accs(f).get(term)
+          if (a == null) { a = new Acc(term, fieldNames(f)); accs(f).put(term, a) }
+          a
+        }
+        val emptyRec = Codec.encodePositions(Array.emptyIntArray)
+
+        def vector(tokens: Array[String]): java.util.LinkedHashMap[String, PosBuf] = {
+          val m = new java.util.LinkedHashMap[String, PosBuf]
+          var i = 0
+          while (i < tokens.length) {
+            var b = m.get(tokens(i))
+            if (b == null) { b = new PosBuf; m.put(tokens(i), b) }
+            b.add(i); i += 1
+          }
+          m
+        }
+        def emit(f: Int, docId: Long, dl: Int,
+                 m: java.util.LinkedHashMap[String, PosBuf]): Unit = {
+          lenAccs(f).add(docId, dl, 0, emptyRec) // doclen sentinel
+          val eit = m.entrySet().iterator()
+          while (eit.hasNext) {
+            val e = eit.next()
+            val b = e.getValue
+            acc(f, e.getKey).add(docId, b.n, dl,
+              Codec.encodePositions(b.a, b.n))
+          }
+        }
+
         it.foreach { case (docId, text, url) =>
-          // default = title tokens ++ body tokens ('\n' separates), so the
-          // two big fields are tokenized once, not twice
+          // default = title tokens ++ body tokens ('\n' separates)
           val nl = text.indexOf('\n')
           val (title, body) =
             if (nl >= 0) (text.substring(0, nl), text.substring(nl + 1))
@@ -133,13 +170,41 @@ object IndexBuilder {
           val tToks = Tokenizer.tokenize(title)
           val bToks = Tokenizer.tokenize(body)
           val uToks = Tokenizer.tokenize(url)
-          field(docId, "default", tToks.length + bToks.length,
-            Tokenizer.termVectorAll(Seq(tToks, bToks)))
-          field(docId, "title", tToks.length, Tokenizer.termVector(tToks))
-          field(docId, "body", bToks.length, Tokenizer.termVector(bToks))
-          field(docId, "url", uToks.length, Tokenizer.termVector(uToks))
+          val tv = vector(tToks)
+          val bv = vector(bToks)
+          val dl = tToks.length + bToks.length
+
+          // default field: title vector, then body-only terms; shared terms
+          // get title positions ++ (body positions + |title|)
+          lenAccs(0).add(docId, dl, 0, emptyRec)
+          val tit = tv.entrySet().iterator()
+          while (tit.hasNext) {
+            val e = tit.next()
+            val b1 = e.getValue
+            val b2 = bv.get(e.getKey)
+            val rec =
+              if (b2 == null) Codec.encodePositions(b1.a, b1.n)
+              else Codec.encodePositionsMerged(b1.a, b1.n, b2.a, b2.n, tToks.length)
+            acc(0, e.getKey).add(docId, b1.n + (if (b2 == null) 0 else b2.n), dl, rec)
+          }
+          val bit = bv.entrySet().iterator()
+          while (bit.hasNext) {
+            val e = bit.next()
+            if (!tv.containsKey(e.getKey)) {
+              val b = e.getValue
+              acc(0, e.getKey).add(docId, b.n, dl,
+                Codec.encodePositionsMerged(Array.emptyIntArray, 0, b.a, b.n, tToks.length))
+            }
+          }
+          emit(1, docId, tToks.length, tv)
+          emit(2, docId, bToks.length, bv)
+          emit(3, docId, uToks.length, vector(uToks))
         }
-        accs.valuesIterator.foreach(_.flush())
+        accs.foreach { m =>
+          val vit = m.values().iterator()
+          while (vit.hasNext) vit.next().flush()
+        }
+        lenAccs.foreach(_.flush())
         // deterministic emission order (resume reproducibility)
         rows.sortBy(r => (r.field, r.term, r.bucket, r.firstDocId)).iterator
       }

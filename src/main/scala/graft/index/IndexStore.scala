@@ -192,24 +192,38 @@ object IndexStore {
       math.max(1L, (totalDocs + conf.numBuckets - 1) / conf.numBuckets)
 
     // stage 1: mini-segments, one resumable docId-range slice at a time ----
+    // The scan's split size gates this stage's parallelism (it is the
+    // build's CPU-dominant stage): size splits so one slice yields ~2
+    // tasks per core instead of whatever the session default gives.
     val sliceSize = math.max(1L, (totalDocs + conf.numSlices - 1) / conf.numSlices)
-    (0 until conf.numSlices).foreach { i =>
-      val stage = s"minisegs-slice-$i"
-      if (!isCommitted(out, stage)) {
-        // docmap files are docId-sorted: the range filter prunes row groups
-        val slice = spark.read.parquet(s"$out/docmap")
-          .filter(col("docId") >= i * sliceSize &&
-            col("docId") < (i + 1L) * sliceSize)
-        val (obs, aggs) = miniObs(s"minisegs-$i")
-        IndexBuilder.miniSegments(slice, rangeSize).toDF()
-          .observe(obs, aggs.head, aggs.tail: _*)
-          .write.mode(SaveMode.Overwrite)
-          .parquet(s"$out/minisegs/slice=$i")
-        commit(out, stage, miniCounters(obs.get) +
-          ("rangeSize" -> rangeSize))
-      }
-      mark(stage)
+    val docmapBytes = {
+      val p = Paths.get(out, "docmap")
+      val s = Files.list(p)
+      try s.mapToLong(f => Files.size(f)).sum finally s.close()
     }
+    val splitTarget = math.max(1L << 21,
+      docmapBytes / conf.numSlices / (conf.shufflePartitions * 2L))
+    val prevSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", splitTarget.toString)
+    try {
+      (0 until conf.numSlices).foreach { i =>
+        val stage = s"minisegs-slice-$i"
+        if (!isCommitted(out, stage)) {
+          // docmap files are docId-sorted: the range filter prunes row groups
+          val slice = spark.read.parquet(s"$out/docmap")
+            .filter(col("docId") >= i * sliceSize &&
+              col("docId") < (i + 1L) * sliceSize)
+          val (obs, aggs) = miniObs(s"minisegs-$i")
+          IndexBuilder.miniSegments(slice, rangeSize).toDF()
+            .observe(obs, aggs.head, aggs.tail: _*)
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$out/minisegs/slice=$i")
+          commit(out, stage, miniCounters(obs.get) +
+            ("rangeSize" -> rangeSize))
+        }
+        mark(stage)
+      }
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
     derivedStages(spark, out, conf, mark)
   }
 

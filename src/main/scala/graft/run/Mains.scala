@@ -229,6 +229,9 @@ object BuildProf {
         IndexStore.build(pages, dir, conf)
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"== $master $tag: $dt%.2f s  (${n / dt}%.0f docs/s)")
+        // free the tmpfs store before the next run (see Bench.timedBuild)
+        try new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+        catch { case _: Throwable => }
       }
       once("warmup", math.max(4000L, docs / 10))
       (1 to runs).foreach(i => once(s"run$i", docs))
