@@ -98,22 +98,37 @@ object StreamIndexMain {
   *
   * Usage: QueryMain <indexDir> <queryFile> <outFile> <runId>
   *                  [bm25|indri|boolean] [numResults] [--wand]
+  *    or: QueryMain <indexDir> --conf <propsFile> [--wand]
+  * The --conf form drives everything from a reference-style properties
+  * file (RetrieverRunner.scala:21-29 takes the same): query path, output
+  * path + run id, model + parameters, default operator, result count.
   */
 object QueryMain {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 4, "usage: QueryMain <indexDir> <queryFile> <outFile> <runId> [model] [k] [--wand]")
+    require(args.length >= 3, "usage: QueryMain <indexDir> <queryFile> <outFile> <runId> [model] [k] [--wand] | <indexDir> --conf <props> [--wand]")
     val spark = Mains.session("graft-query")
-    val Array(indexDir, queryFile, outFile, runId) = args.take(4)
-    val modelName = if (args.length > 4) args(4) else "bm25"
-    val k = if (args.length > 5) args(5).toInt else 100
+    val indexDir = args(0)
     val useWand = args.contains("--wand")
 
-    val (model: Model, defaultOp) = modelName match {
-      case "boolean" => (Bool(ranked = true), QOp.OR)
-      case "indri"   => (Indri(), QOp.AND)
-      case _         => (BM25(), QOp.SUM)
-    }
-    val parser = new QueryParser(defaultOp = defaultOp)
+    val (queryFile, outFile, runId, modelName, k, model: Model, parser) =
+      if (args(1) == "--conf") {
+        val conf = graft.util.GraftConfig.load(args(2))
+        val m = conf.model
+        val name = conf.retrieverName
+        (conf.queryPath, s"${conf.outputPath.stripSuffix("/")}/${conf.runId}",
+          conf.runId, name, conf.numResults, m, conf.parser)
+      } else {
+        require(args.length >= 4, "usage: QueryMain <indexDir> <queryFile> <outFile> <runId> [model] [k] [--wand]")
+        val name = if (args.length > 4) args(4) else "bm25"
+        val kk = if (args.length > 5) args(5).toInt else 100
+        val (m: Model, defaultOp) = name match {
+          case "boolean" => (Bool(ranked = true), QOp.OR)
+          case "indri"   => (Indri(), QOp.AND)
+          case _         => (BM25(), QOp.SUM)
+        }
+        (args(1), args(2), args(3), name, kk, m,
+          new QueryParser(defaultOp = defaultOp))
+      }
     val index = IndexStore.open(spark, indexDir)
     val engine = new Engine(index, model)
 
