@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Pins the PHYSICAL PLAN SHAPE of the scale-critical operators — the
+  * properties that make them survive a 100× scale-up. A correctness-green
+  * change that reintroduces a cartesian join or un-pushes the point-lookup
+  * filters fails here, not in production.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("gated dedup/similarity plans contain no all-pairs join") {
+    // LSH-bucketed embedding dedup: equi-join on (table, bucket) only
+    val dup = Similarity.embeddingDups(emb, 0.35, useLsh = true, nBits = 8)
+    val p1 = planOf(dup)
+    assert(!p1.contains("CartesianProduct"), p1)
+    assert(!p1.contains("BroadcastNestedLoopJoin"), p1)
+
+    // shingle-inverted jaccard: equi-join on shingle
+    val jac = Dedup.ngramJaccard(docs, w = 3, threshold = 0.5)
+    val p2 = planOf(jac)
+    assert(!p2.contains("CartesianProduct"), p2)
+    assert(!p2.contains("BroadcastNestedLoopJoin"), p2)
+
+    // banded signature joins
+    Seq(planOf(Dedup.minhashLsh(docs, 3, 32, 8, 0.3)),
+        planOf(Dedup.simhashPairs(docs, maxHamming = 8))).foreach { p =>
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+
+  test("ranked top-k lowers to TakeOrdered (bounded heap), not a full sort") {
+    val idx = gate.IndexCache.documentsIndex(spark, sf)
+    val e = new graft.query.Engine(idx, graft.query.BM25())
+    val parser = new graft.query.QueryParser(defaultOp = graft.query.QOp.SUM)
+    val p = planOf(e.search("key value spark", 10, parser))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("persistent-store point lookups prune partitions and push filters") {
+    val dir = java.nio.file.Files.createTempDirectory("plan-store").toString
+    val pages = graft.corpus.SyntheticCorpus.pages(spark, 2000, 4).toDF()
+    graft.index.IndexStore.build(pages, dir,
+      graft.index.BuildConf(numSlices = 1, numBuckets = 4, termBuckets = 8,
+        shufflePartitions = 4))
+    val idx = graft.index.IndexStore.open(spark, dir, 8)
+    val scan = idx.segmentsOf("w1", "default")
+    val ps = scan.queryExecution.executedPlan.toString
+    // partition dirs (field, tb) pruned at plan time; term filter pushed
+    // into the parquet scan
+    assert(ps.contains("PartitionFilters") &&
+      (ps.contains("isnotnull(field") || ps.contains("field#")), ps)
+    assert(ps.contains("PushedFilters") && ps.contains("EqualTo(term,w1)"), ps)
+  }
+}
