@@ -206,7 +206,24 @@ object IndexStore {
     val prevSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
     spark.conf.set("spark.sql.files.maxPartitionBytes", splitTarget.toString)
     try {
-      (0 until conf.numSlices).foreach { i =>
+      if (conf.numSlices == 1 && !isCommitted(out, "minisegs-slice-0") &&
+          !isCommitted(out, "segments")) {
+        // Fused fast path: with a single slice the minisegs table buys no
+        // resume granularity, so tokenize→encode→shuffle→merge runs as ONE
+        // action and the mini-segment parquet round trip (its full byte
+        // volume written to and re-read from storage) disappears. Doclen
+        // sentinels ride the same shuffle into the segments table
+        // (term = ""), where docstats finds them.
+        val minis = IndexBuilder.miniSegments(
+          spark.read.parquet(s"$out/docmap"), rangeSize).toDF()
+        val (obs, aggs) = miniObs("minisegs-0")
+        writeSegments(spark,
+          minis.observe(obs, aggs.head, aggs.tail: _*), out, conf,
+          keepSentinels = true)
+        commit(out, "minisegs-slice-0", miniCounters(obs.get) +
+          ("rangeSize" -> rangeSize, "fused" -> 1L))
+        mark("minisegs+segments (fused)")
+      } else (0 until conf.numSlices).foreach { i =>
         val stage = s"minisegs-slice-$i"
         if (!isCommitted(out, stage)) {
           // docmap files are docId-sorted: the range filter prunes row groups
@@ -227,6 +244,74 @@ object IndexStore {
     derivedStages(spark, out, conf, mark)
   }
 
+  /** stage 2: segments — merge minis per (term, field, bucket).
+    * One shuffle of pre-encoded rows, keyed by the OUTPUT partition
+    * (field, tb) so every directory is written by the task that merged it
+    * (no second move); within a task groups are streamed in sorted order
+    * and byte-concatenated (SegmentMerger). With `keepSentinels` the
+    * doclen sentinel rows (term = "") ride the same shuffle into the
+    * segments table — the fused single-slice build has no minisegs table
+    * for docstats to read otherwise.
+    */
+  private def writeSegments(spark: SparkSession, minis0: DataFrame,
+                            out: String, conf: BuildConf,
+                            keepSentinels: Boolean): Unit = {
+    import spark.implicits._
+    val segCols = Seq("term", "field", "bucket", "n", "firstDocId",
+      "lastDocId", "segCf", "blob", "blockFirst", "blockOff",
+      "blockMaxTf", "blockMinDl", "blockN")
+    val minis =
+      if (keepSentinels) minis0 else minis0.filter(col("term") =!= "")
+    val merged = minis
+      .withColumn("tb", pmod(xxhash64(col("term")), lit(conf.termBuckets)))
+      .repartition(conf.shufflePartitions, col("field"), col("tb"))
+      .sortWithinPartitions("term", "field", "bucket", "firstDocId")
+      .select(segCols.map(col): _*)
+      .as[SegmentRow]
+      .mapPartitions { it =>
+        val in = it.buffered
+        new Iterator[SegmentRow] {
+          def hasNext: Boolean = in.hasNext
+          def next(): SegmentRow = {
+            val h = in.head
+            val (term, field, bucket) = (h.term, h.field, h.bucket)
+            val merger = new Codec.SegmentMerger
+            while (in.hasNext && {
+              val x = in.head
+              x.term == term && x.field == field && x.bucket == bucket
+            }) {
+              val m = in.next()
+              merger.append(Codec.Segment(m.blob, m.n, m.firstDocId,
+                m.lastDocId, m.segCf, m.blockFirst, m.blockOff,
+                m.blockMaxTf, m.blockMinDl, m.blockN))
+            }
+            val s = merger.finish()
+            SegmentRow(term, field, bucket, s.n, s.firstDocId, s.lastDocId,
+              s.cf, s.blob, s.blockFirst, s.blockOff, s.blockMaxTf,
+              s.blockMinDl, s.blockN)
+          }
+        }
+      }
+
+    val obs = org.apache.spark.sql.Observation("segments")
+    merged.toDF()
+      .withColumn("tb", pmod(xxhash64(col("term")), lit(conf.termBuckets)))
+      .observe(obs,
+        count(when(col("term") =!= "", 1)).cast("long").as("segments"),
+        sum(when(col("term") =!= "", length(col("blob"))).otherwise(0))
+          .cast("long").as("bytes"),
+        sum(when(col("term") =!= "", col("n")).otherwise(0))
+          .cast("long").as("postings"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("field", "tb")
+      .parquet(s"$out/segments")
+    val m = obs.get
+    commit(out, "segments", Map(
+      "segments" -> m("segments").asInstanceOf[Long],
+      "bytes" -> m("bytes").asInstanceOf[Long],
+      "postings" -> m("postings").asInstanceOf[Long]))
+  }
+
   /** Derived tables (segments, termstats, docstats, collstats) over
     * whatever minisegs slices exist — shared by the batch build and the
     * streaming indexer's seal. Each stage commits/skips via the manifest.
@@ -234,65 +319,23 @@ object IndexStore {
   def derivedStages(spark: SparkSession, out: String, conf: BuildConf,
                     mark: String => Unit = _ => ()): Unit = {
     import spark.implicits._
-    val minis = spark.read.parquet(s"$out/minisegs")
+    val hasMinisegs = Files.exists(Paths.get(out, "minisegs"))
 
-    // stage 2: segments — merge minis per (term, field, bucket) -----------
-    // One shuffle of pre-encoded rows, keyed by the OUTPUT partition
-    // (field, tb) so every directory is written by the task that merged it
-    // (no second move); within a task groups are streamed in sorted order
-    // and byte-concatenated (SegmentMerger).
     if (!isCommitted(out, "segments")) {
-      val segCols = Seq("term", "field", "bucket", "n", "firstDocId",
-        "lastDocId", "segCf", "blob", "blockFirst", "blockOff",
-        "blockMaxTf", "blockMinDl", "blockN")
-      val merged = minis.filter(col("term") =!= "")
-        .withColumn("tb", pmod(xxhash64(col("term")), lit(conf.termBuckets)))
-        .repartition(conf.shufflePartitions, col("field"), col("tb"))
-        .sortWithinPartitions("term", "field", "bucket", "firstDocId")
-        .select(segCols.map(col): _*)
-        .as[SegmentRow]
-        .mapPartitions { it =>
-          val in = it.buffered
-          new Iterator[SegmentRow] {
-            def hasNext: Boolean = in.hasNext
-            def next(): SegmentRow = {
-              val h = in.head
-              val (term, field, bucket) = (h.term, h.field, h.bucket)
-              val merger = new Codec.SegmentMerger
-              while (in.hasNext && {
-                val x = in.head
-                x.term == term && x.field == field && x.bucket == bucket
-              }) {
-                val m = in.next()
-                merger.append(Codec.Segment(m.blob, m.n, m.firstDocId,
-                  m.lastDocId, m.segCf, m.blockFirst, m.blockOff,
-                  m.blockMaxTf, m.blockMinDl, m.blockN))
-              }
-              val s = merger.finish()
-              SegmentRow(term, field, bucket, s.n, s.firstDocId, s.lastDocId,
-                s.cf, s.blob, s.blockFirst, s.blockOff, s.blockMaxTf,
-                s.blockMinDl, s.blockN)
-            }
-          }
-        }
-
-      val obs = org.apache.spark.sql.Observation("segments")
-      merged.toDF()
-        .withColumn("tb", pmod(xxhash64(col("term")), lit(conf.termBuckets)))
-        .observe(obs,
-          count(lit(1)).as("segments"),
-          sum(length(col("blob"))).cast("long").as("bytes"),
-          sum(col("n")).cast("long").as("postings"))
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy("field", "tb")
-        .parquet(s"$out/segments")
-      val m = obs.get
-      commit(out, "segments", Map(
-        "segments" -> m("segments").asInstanceOf[Long],
-        "bytes" -> m("bytes").asInstanceOf[Long],
-        "postings" -> m("postings").asInstanceOf[Long]))
+      writeSegments(spark, spark.read.parquet(s"$out/minisegs"), out, conf,
+        keepSentinels = false)
     }
     mark("segments")
+
+    /** Doclen sentinel rows (field, n, blob): from the minisegs table when
+      * it exists, else from the segments table (fused build wrote them
+      * there under term = "").
+      */
+    def sentinels: DataFrame =
+      if (hasMinisegs)
+        spark.read.parquet(s"$out/minisegs").filter(col("term") === "")
+      else
+        spark.read.parquet(s"$out/segments").filter(col("term") === "")
 
     // stages 3+4 are independent of each other (termstats reads merged
     // segments, docstats reads minisegs+docmap): run them as concurrent
@@ -306,6 +349,7 @@ object IndexStore {
     val fTermstats = Future { if (!isCommitted(out, "termstats")) {
       val obs = org.apache.spark.sql.Observation("termstats")
       spark.read.parquet(s"$out/segments")
+        .filter(col("term") =!= "") // fused builds carry sentinels here
         .groupBy("term", "field")
         .agg(sum("n").cast("long").as("df"), sum("segCf").cast("long").as("cf"))
         .withColumn("tb", pmod(xxhash64(col("term")), lit(conf.termBuckets)))
@@ -319,7 +363,7 @@ object IndexStore {
 
     // stage 4: docstats from the doclen sentinel rows + collstats ----------
     val fDocstats = Future { if (!isCommitted(out, "docstats")) {
-      val doclens = minis.filter(col("term") === "")
+      val doclens = sentinels
         .select("field", "n", "blob").as[(String, Int, Array[Byte])]
         .flatMap { case (f, n, blob) =>
           Codec.decode(blob, n).map(p => (p.docId, f, p.tf))

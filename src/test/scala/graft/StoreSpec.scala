@@ -117,4 +117,36 @@ class StoreSpec extends AnyFunSuite {
       sliceCountBefore)
     assert(IndexStore.isCommitted(outDir, "minisegs-slice-2"))
   }
+
+  test("fused single-slice build produces an identical store") {
+    // numSlices = 1 takes the fused path (no minisegs table; doclen
+    // sentinels ride into the segments table); every derived table and
+    // query result must match the staged build bit-for-bit
+    val dir = Files.createTempDirectory("graft-fused").toString
+    val pages = SyntheticCorpus.pages(spark, NumDocs, 8).toDF()
+    IndexStore.build(pages, dir,
+      BuildConf(numSlices = 1, numBuckets = 4,
+        termBuckets = 16, shufflePartitions = 8))
+    assert(!Files.exists(Paths.get(dir, "minisegs")), "fused build wrote minisegs")
+    val fused = IndexStore.open(spark, dir, 16)
+    assert(fused.collStats == pIndex.collStats)
+    Seq(("w0", "default"), ("obama", "default"), ("w123", "title"),
+      ("zzz", "default")).foreach { case (t, f) =>
+      assert(fused.termStat(t, f) == pIndex.termStat(t, f), s"($t,$f)")
+      val a = fused.postings(t, f).orderBy("docId")
+        .collect().map(_.toString).toSeq
+      val b = pIndex.postings(t, f).orderBy("docId")
+        .collect().map(_.toString).toSeq
+      assert(a == b, s"postings diverge for ($t,$f)")
+    }
+    // sentinel rows never leak into query reads
+    assert(fused.segmentsOf("", "default").count() == 0 ||
+      fused.postings("w0", "default").filter(col("tf") <= 0).count() == 0)
+    val parser = new QueryParser(defaultOp = QOp.SUM)
+    val qa = new Engine(fused, BM25()).search("obama family w3", 10, parser)
+      .collect().map(_.toString).toSeq
+    val qb = new Engine(pIndex, BM25()).search("obama family w3", 10, parser)
+      .collect().map(_.toString).toSeq
+    assert(qa == qb)
+  }
 }
