@@ -175,6 +175,41 @@ GROUP BY 1""")),
           round(col("score"), 6).as("score")),
       Some(PositionalSql.uwOracle("key", "value", "table", 4))),
 
+    // S2+S4+U2: the multi-query runner path (qid:query lines → per-query
+    // ranked top-k, TREC row shape) end-to-end through Engine.searchAll's
+    // machinery. Oracle = per-query rank CTEs, unioned.
+    GateQuery("q_ir_multi_query",
+      (s, d) => {
+        val e = engine(s, d, BM25())
+        val queries = Seq("1" -> "spark join", "2" -> "key value",
+          "3" -> "the about all") // q3 is all-stopwords → zero rows
+        val rows = e.searchAll(queries, 10, bm25Parser, "gate")
+        import s.implicits._
+        rows.map(r => (r.queryId, r.docId, r.rank,
+          math.rint(r.score * 1e6) / 1e6))
+          .toDF("qid", "doc_id", "rank", "score")
+      },
+      Some {
+        def one(qid: String, terms: Seq[String]) = {
+          val inlist = terms.map(t => s"'$t'").mkString(", ")
+          s"""SELECT '$qid' AS qid, doc_id, rank, score FROM (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY scoreraw DESC, doc_id DESC) AS rank,
+         round(scoreraw, 6) AS score
+  FROM (
+    SELECT p.doc_id AS doc_id, sum(${bm25("p.tf", "d.dl", "t.df")}) AS scoreraw
+    FROM post p JOIN dlen d USING (doc_id) JOIN tstat t USING (term)
+    CROSS JOIN stats s
+    WHERE p.term IN ($inlist)
+    GROUP BY 1))
+WHERE rank <= 10"""
+        }
+        s"""${prelude()}
+${one("1", Seq("spark", "join"))}
+UNION ALL
+${one("2", Seq("key", "value"))}"""
+      }),
+
     // SDM-shaped nested query (WEIGHT over AND/NEAR/UW).
     GateQuery("q_ir_sdm",
       (s, d) => lowerQ(s, d, Indri(), indriParser,
