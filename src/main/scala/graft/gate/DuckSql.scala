@@ -211,6 +211,69 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 WHERE rank <= $k"""
   }
 
+  /** Oracle for Similarity.ivfTopK: the driver-side deterministic k-means
+    * (sample = vec_id < trainN, init = first nCentroids sample vectors by
+    * vec_id, Lloyd iterations with empty clusters keeping their centroid)
+    * unrolled as one CTE chain per iteration, then assignment + nProbe
+    * probing + exact-cosine ranking among same-cell candidates.
+    */
+  def annIvfOracle(queryIds: Seq[Long], k: Int, nCentroids: Int,
+                   nProbe: Int, iters: Int, trainN: Long): String = {
+    val qs = queryIds.mkString(", ")
+    def distCte(name: String, vecsCte: String, centsCte: String) =
+      s"""$name AS (
+  SELECT t.vec_id, c.cidx,
+         list_sum(list_transform(range(1, len(t.embedding) + 1),
+           i -> (CAST(t.embedding[i] AS DOUBLE) - c.c[i]) * (CAST(t.embedding[i] AS DOUBLE) - c.c[i]))) AS dist
+  FROM $vecsCte t CROSS JOIN $centsCte c)"""
+    val iterCtes = (1 to iters).map { n =>
+      val prev = s"c${n - 1}"
+      s"""${distCte(s"d$n", "tr", prev)},
+a$n AS (SELECT vec_id, cidx FROM (
+  SELECT vec_id, cidx, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cidx ASC) AS rn
+  FROM d$n) WHERE rn = 1),
+m$n AS (
+  SELECT a.cidx, unnest(range(0, len(t.embedding))) AS i,
+         unnest(list_transform(t.embedding, x -> CAST(x AS DOUBLE))) AS x
+  FROM a$n a JOIN tr t USING (vec_id)),
+ml$n AS (SELECT cidx, i, avg(x) AS mv FROM m$n GROUP BY 1, 2),
+mc$n AS (SELECT cidx, list(mv ORDER BY i) AS c FROM ml$n GROUP BY 1),
+c$n AS (SELECT p.cidx AS cidx, coalesce(mc$n.c, p.c) AS c
+        FROM $prev p LEFT JOIN mc$n USING (cidx))"""
+    }.mkString(",\n")
+    s"""WITH tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $trainN),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+  FROM tr QUALIFY row_number() OVER (ORDER BY vec_id) <= $nCentroids
+),
+$iterCtes,
+${distCte("dall", "embeddings", s"c$iters")},
+assign AS (SELECT vec_id, cidx FROM (
+  SELECT vec_id, cidx, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cidx ASC) AS rn
+  FROM dall) WHERE rn = 1),
+qprobe AS (SELECT vec_id AS query_id, cidx FROM (
+  SELECT vec_id, cidx, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cidx ASC) AS rn
+  FROM dall WHERE vec_id IN ($qs)) WHERE rn <= $nProbe),
+cand AS (
+  SELECT DISTINCT q.query_id, v.vec_id AS neighbor_id
+  FROM assign v JOIN qprobe q ON v.cidx = q.cidx AND v.vec_id <> q.query_id),
+pr AS (
+  SELECT c.query_id, c.neighbor_id,
+         unnest(q.embedding)::DOUBLE AS x, unnest(v.embedding)::DOUBLE AS y
+  FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
+              JOIN embeddings v ON v.vec_id = c.neighbor_id),
+cs AS (
+  SELECT query_id, neighbor_id,
+         sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
+  FROM pr GROUP BY 1, 2)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, round(c, 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rank
+  FROM cs)
+WHERE rank <= $k"""
+  }
+
   /** Oracle for Similarity.embeddingDups(useLsh = true). */
   def embedDupsLshOracle(threshold: Double, nBits: Int,
                          nTables: Int = 4, seed: Long = 5L): String =

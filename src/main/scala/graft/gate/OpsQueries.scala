@@ -148,6 +148,14 @@ WHERE rank <= 10""")),
         nBits = 6),
       Some(DuckSql.annLshOracle(Seq(0L, 1L, 2L, 3L, 4L), 10, nBits = 6))),
 
+    // IVF: k-means coarse cells (driver-trained on a bounded sample),
+    // distributed assignment, nProbe-cell candidate scan.
+    GateQuery("q_op_ann_ivf",
+      (s, d) => Similarity.ivfTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10,
+        nCentroids = 8, nProbe = 2, iters = 2, trainN = 256L),
+      Some(DuckSql.annIvfOracle(Seq(0L, 1L, 2L, 3L, 4L), 10, nCentroids = 8,
+        nProbe = 2, iters = 2, trainN = 256L))),
+
     // --- multimodal binary plumbing ---------------------------------------
     GateQuery("q_op_mm_meta",
       (s, d) => {

@@ -145,6 +145,109 @@ object Similarity {
         round(col("cosraw"), 6).as("cosine"), col("rank"))
   }
 
+  /** Deterministic k-means centroids for IVF, trained DRIVER-SIDE on a
+    * bounded sample (vec_id < trainN) — the Faiss-style contract: coarse
+    * quantizers train on a sample regardless of corpus size, so the
+    * training pass is O(trainN · nCentroids · dim · iters) on one machine
+    * and only the assignment/search passes are distributed. Deterministic
+    * end to end: init = first nCentroids sample vectors by vec_id,
+    * Lloyd iterations accumulate in vec_id order, empty clusters keep
+    * their previous centroid.
+    */
+  def trainIvfCentroids(emb: DataFrame, nCentroids: Int, trainN: Long,
+                        iters: Int): Array[Array[Double]] = {
+    val train = emb.filter(col("vec_id") < trainN)
+      .select("vec_id", "embedding").orderBy("vec_id").collect()
+      .map(r => r.getSeq[Float](1).toArray.map(_.toDouble))
+    require(train.length >= nCentroids,
+      s"need ≥ $nCentroids training vectors, got ${train.length}")
+    val dim = train(0).length
+    var cents = train.take(nCentroids).map(_.clone)
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nCentroids)(new Array[Double](dim))
+      val cnt = new Array[Long](nCentroids)
+      train.foreach { v =>
+        val j = nearestCentroid(v, cents)
+        val s = sums(j)
+        var i = 0
+        while (i < dim) { s(i) += v(i); i += 1 }
+        cnt(j) += 1
+      }
+      cents = Array.tabulate(nCentroids) { j =>
+        if (cnt(j) == 0) cents(j)
+        else Array.tabulate(dim)(i => sums(j)(i) / cnt(j))
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** argmin-L2 centroid index; ties take the lowest index. */
+  private def nearestCentroid(v: Array[Double],
+                              cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bd = Double.MaxValue
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      var d = 0.0
+      var i = 0
+      while (i < v.length) { val x = v(i) - c(i); d += x * x; i += 1 }
+      if (d < bd) { bd = d; best = j }
+      j += 1
+    }
+    best
+  }
+
+  /** The nProbe nearest centroid indices of a vector (dist asc, idx asc). */
+  private def probeList(v: Array[Double], cents: Array[Array[Double]],
+                        nProbe: Int): Array[Int] = {
+    val dists = cents.indices.map { j =>
+      val c = cents(j)
+      var d = 0.0
+      var i = 0
+      while (i < v.length) { val x = v(i) - c(i); d += x * x; i += 1 }
+      (d, j)
+    }
+    dists.sortBy(identity).take(nProbe).map(_._2).toArray
+  }
+
+  /** IVF approximate nearest-neighbor top-k: vectors partition into
+    * nCentroids coarse cells (one distributed assignment pass over a
+    * broadcast centroid matrix), each query probes its nProbe nearest
+    * cells, and only same-cell vectors are candidates — the candidate
+    * scan is ~nProbe/nCentroids of the corpus instead of all of it.
+    * Ranking among candidates is the exact cosine.
+    */
+  def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+              nCentroids: Int = 8, nProbe: Int = 2, iters: Int = 2,
+              trainN: Long = 256L): DataFrame = {
+    val cents = trainIvfCentroids(emb, nCentroids, trainN, iters)
+    val assignUdf = udf { (v: Seq[Float]) =>
+      nearestCentroid(v.toArray.map(_.toDouble), cents)
+    }
+    val probeUdf = udf { (v: Seq[Float]) =>
+      probeList(v.toArray.map(_.toDouble), cents, nProbe)
+    }
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      assignUdf(col("embedding")).as("cidx"))
+    val queries = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        explode(probeUdf(col("embedding"))).as("cidx"))
+    val joined = assigned.join(broadcast(queries),
+        Seq("cidx"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineCol(col("qvec"), col("embedding")).as("cosraw"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("cosraw").desc, col("neighbor_id").asc)
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosraw"), 6).as("cosine"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
     * Exact variant pairs everything (small inputs / verification); the
     * scalable variant restricts to LSH-bucket collisions first.

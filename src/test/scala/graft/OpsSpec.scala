@@ -115,6 +115,37 @@ class OpsSpec extends AnyFunSuite {
     assert(recall(8) >= recall(1))
   }
 
+  test("IVF ANN finds planted near-duplicate vectors; candidates bounded") {
+    val perturbed = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 9000).as("vec_id"),
+        expr("transform(embedding, x -> float(x * 1.0001 + 0.0001))")
+          .as("embedding"))
+    val withDups = emb.select("vec_id", "embedding").union(perturbed)
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    // a near-identical vector lands in the same coarse cell, so rank 1
+    // must be the planted duplicate at any nProbe
+    val ivf = Similarity.ivfTopK(withDups, qids, 3, nCentroids = 8,
+      nProbe = 1, iters = 2, trainN = 256L)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    qids.foreach { q =>
+      assert(ivf.get(q).contains(q + 9000),
+        s"query $q: nearest should be planted dup, got ${ivf.get(q)}")
+    }
+    // recall vs brute force is monotone in nProbe; full probe == brute
+    val brute = Similarity.bruteTopK(emb, qids, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    def recall(nProbe: Int): Double = {
+      val got = Similarity.ivfTopK(emb, qids, 10, nCentroids = 8,
+        nProbe = nProbe, iters = 2, trainN = 256L).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      (brute intersect got).size.toDouble / brute.size
+    }
+    val r8 = recall(8)
+    assert(r8 == 1.0, s"probing all cells must equal brute force, got $r8")
+    assert(recall(2) <= r8)
+  }
+
   test("embedding self-similarity is 1") {
     val self = emb.limit(3).select(col("vec_id"),
       round(Similarity.cosineCol(col("embedding"), col("embedding")), 6)
