@@ -42,6 +42,12 @@ object OpsQueries {
       Some(s"""$tokPrelude
 SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM base""")),
 
+    GateQuery("q_op_token_bpe",
+      (s, d) => TextAnalysis.bpeTokenCount(docs(s, d)),
+      Some(s"""SELECT doc_id,
+       len(regexp_extract_all(lower(text), '${TextAnalysis.BpePattern.replace("'", "''")}'))::BIGINT AS n_bpe_tokens
+FROM documents""")),
+
     GateQuery("q_op_quality",
       (s, d) => TextAnalysis.qualityScore(docs(s, d)),
       Some(s"""$tokPrelude
@@ -155,6 +161,59 @@ WHERE rank <= 10""")),
         nCentroids = 8, nProbe = 2, iters = 2, trainN = 256L),
       Some(DuckSql.annIvfOracle(Seq(0L, 1L, 2L, 3L, 4L), 10, nCentroids = 8,
         nProbe = 2, iters = 2, trainN = 256L))),
+
+    // --- event-stream shapes (batch-equivalent of the streaming ops) ------
+    // Tumbling 1-hour windows per event type — the batch semantics of a
+    // watermarked streaming window aggregation (same groupBy(window(...))
+    // plan under readStream).
+    GateQuery("q_op_events_window",
+      (s, d) => s.read.parquet(s"$d/events.parquet")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 6).as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n_events"), col("sum_value")),
+      Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2""")),
+
+    // Gap-based sessionization (30-min inactivity): per-user lag + running
+    // session counter — the batch equivalent of session windows /
+    // mapGroupsWithState.
+    GateQuery("q_op_events_sessionize",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        s.read.parquet(s"$d/events.parquet")
+          .withColumn("gap",
+            unix_timestamp(col("ts")) - unix_timestamp(
+              lag("ts", 1).over(byUser)))
+          .withColumn("newsess",
+            when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
+          .withColumn("session_idx", sum("newsess").over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_idx")
+          .agg(count(lit(1)).as("n_events"),
+            (unix_timestamp(max("ts")) - unix_timestamp(min("ts")))
+              .as("duration_sec"))
+      },
+      Some("""WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+              THEN 1 ELSE 0 END AS newsess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+se AS (
+  SELECT user_id, ts,
+         sum(newsess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g
+)
+SELECT user_id, session_idx::BIGINT AS session_idx,
+       count(*) AS n_events,
+       floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT AS duration_sec
+FROM se GROUP BY 1, 2""")),
 
     // --- multimodal binary plumbing ---------------------------------------
     GateQuery("q_op_mm_meta",

@@ -22,6 +22,23 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       size(tokensCol(col("text"))).cast("long").as("n_tokens"))
 
+  /** BPE-style pre-tokenizer pattern (the GPT-2 shape: contraction
+    * suffixes, space-prefixed letter/digit runs, punctuation runs,
+    * whitespace runs) restricted to constructs RE2 also supports (no
+    * lookahead), over lowercased text — identical match semantics in
+    * Spark's Java regex and DuckDB's RE2.
+    */
+  val BpePattern: String = "'(?:[sdmt]|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+|\\s+"
+
+  /** Subword-ish token count: how many BPE pre-tokens a tokenizer would
+    * see — the budgeting number a training pipeline actually needs (LLM
+    * token budgets are BPE tokens, not whitespace words).
+    */
+  def bpeTokenCount(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)))
+        .cast("long").as("n_bpe_tokens"))
+
   private lazy val stopLit =
     typedlit(graft.analysis.Tokenizer.stopwords.toSeq.sorted)
 
