@@ -8,7 +8,11 @@ import graft.model.Posting
   * Blob layout (one (term, field, bucket) segment):
   *   repeat per posting, in ascending docId order:
   *     vlong(docId delta from previous docId; first = delta from 0)
-  *     vint(tf) vint(dl) vint(#positions) vint*(position deltas)
+  *     vint(dl) vint(#positions) vint*(position deltas)
+  * tf is NOT stored: for a term posting it always equals the positions
+  * count (a tf byte per posting measured 12% of the whole index). Doclen
+  * sentinel postings carry the document length in `dl` with zero
+  * positions.
   *
   * Block metadata is stored alongside (columnar arrays, not in the blob):
   * every `BlockSize` postings record (firstDocId, byteOffset, maxTf,
@@ -137,6 +141,11 @@ object Codec {
     private var curMaxTf = 0
     private var curMinDl = Int.MaxValue
 
+    /** `tf` feeds cf and block-max metadata only; the BYTES written are
+      * dl + rec, where rec's leading count doubles as tf (invariant:
+      * rec = encodePositions of exactly tf positions for term postings,
+      * of zero positions for doclen sentinels).
+      */
     def add(docId: Long, tf: Int, dl: Int, rec: Array[Byte]): Unit = {
       if (n % BlockSize == 0) {
         if (n > 0) { bMaxTf += curMaxTf; bMinDl += curMinDl }
@@ -146,7 +155,6 @@ object Codec {
         curMinDl = Int.MaxValue
       }
       out.writeVLong(docId - prev)
-      out.writeVInt(tf)
       out.writeVInt(dl)
       out.writeBytes(rec)
       if (n == 0) first = docId
@@ -244,8 +252,9 @@ object Codec {
         curMaxTf = 0
         curMinDl = Int.MaxValue
       }
+      require(p.tf == p.positions.length,
+        s"tf must equal positions count (tf=${p.tf}, np=${p.positions.length})")
       out.writeVLong(p.docId - prev)
-      out.writeVInt(p.tf)
       out.writeVInt(p.dl)
       out.writeVInt(p.positions.length)
       var prevPos = 0
@@ -278,14 +287,13 @@ object Codec {
     Iterator.tabulate(n) { _ =>
       val docId = prev + in.readVLong()
       prev = docId
-      val tf = in.readVInt()
       val dl = in.readVInt()
       val np = in.readVInt()
       val pos = new Array[Int](np)
       var acc = 0
       var i = 0
       while (i < np) { acc += in.readVInt(); pos(i) = acc; i += 1 }
-      Posting(docId, tf, dl, pos)
+      Posting(docId, np, dl, pos) // tf == positions count by construction
     }
   }
 
@@ -302,14 +310,13 @@ object Codec {
       // previous posting, so callers pass firstDocId from metadata
       isFirst = false
       prev = docId
-      val tf = in.readVInt()
       val dl = in.readVInt()
       val np = in.readVInt()
       val pos = new Array[Int](np)
       var acc = 0
       var i = 0
       while (i < np) { acc += in.readVInt(); pos(i) = acc; i += 1 }
-      Posting(docId, tf, dl, pos)
+      Posting(docId, np, dl, pos)
     }
   }
 }

@@ -151,7 +151,7 @@ object IndexBuilder {
         }
         def emit(f: Int, docId: Long, dl: Int,
                  m: java.util.LinkedHashMap[String, PosBuf]): Unit = {
-          lenAccs(f).add(docId, dl, 0, emptyRec) // doclen sentinel
+          lenAccs(f).add(docId, 0, dl, emptyRec) // doclen sentinel (in dl)
           val eit = m.entrySet().iterator()
           while (eit.hasNext) {
             val e = eit.next()
@@ -176,7 +176,7 @@ object IndexBuilder {
 
           // default field: title vector, then body-only terms; shared terms
           // get title positions ++ (body positions + |title|)
-          lenAccs(0).add(docId, dl, 0, emptyRec)
+          lenAccs(0).add(docId, 0, dl, emptyRec)
           val tit = tv.entrySet().iterator()
           while (tit.hasNext) {
             val e = tit.next()

@@ -366,7 +366,8 @@ object IndexStore {
       val doclens = sentinels
         .select("field", "n", "blob").as[(String, Int, Array[Byte])]
         .flatMap { case (f, n, blob) =>
-          Codec.decode(blob, n).map(p => (p.docId, f, p.tf))
+          // sentinel postings carry the doc length in dl (tf = 0)
+          Codec.decode(blob, n).map(p => (p.docId, f, p.dl))
         }
         .toDF("docId", "field", "dl")
       val lens = doclens.groupBy("docId").agg(

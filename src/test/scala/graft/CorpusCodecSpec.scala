@@ -56,15 +56,15 @@ class CorpusCodecSpec extends AnyFunSuite {
     n <- Gen.choose(0, 300)
     deltas <- Gen.listOfN(n, Gen.choose(1L, 1000L))
     metas <- Gen.listOfN(n, for {
-      tf <- Gen.choose(1, 50)
       dl <- Gen.choose(1, 5000)
-      np <- Gen.choose(0, 10)
+      np <- Gen.choose(1, 50) // tf == positions count (format invariant)
       pds <- Gen.listOfN(np, Gen.choose(1, 100))
-    } yield (tf, dl, pds))
+    } yield (dl, pds))
   } yield {
     val ids = deltas.scanLeft(0L)(_ + _).tail
-    ids.zip(metas).map { case (id, (tf, dl, pds)) =>
-      Posting(id, tf, dl, pds.scanLeft(0)(_ + _).tail.toArray)
+    ids.zip(metas).map { case (id, (dl, pds)) =>
+      val pos = pds.scanLeft(0)(_ + _).tail.toArray
+      Posting(id, pos.length, dl, pos)
     }
   }
 
