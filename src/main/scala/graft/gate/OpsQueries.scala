@@ -75,6 +75,37 @@ SELECT doc_id, round(r, 6) AS stop_ratio,
        CASE WHEN r >= 0.04 THEN 'en' ELSE 'other' END AS lang_pred
 FROM sr""")),
 
+    GateQuery("q_op_langid_ngram",
+      (s, d) => TextAnalysis.langIdNgram(docs(s, d)),
+      Some {
+        val profs = TextAnalysis.langTrigrams
+        def lit(prof: Seq[String]) =
+          prof.map(t => "'" + t.replace("'", "''") + "'")
+            .mkString("[", ",", "]")
+        val scoreCols = profs.map { case (l, p) =>
+          s"""CASE WHEN len(tg) = 0 THEN 0.0
+            ELSE len(list_filter(tg, t -> list_contains(${lit(p)}, t)))::DOUBLE / len(tg) END AS s_$l"""
+        }.mkString(",\n       ")
+        val langs = profs.map(_._1) // asc: first max wins
+        val pred = langs.init.zipWithIndex.map { case (l, i) =>
+          val rest = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+          s"WHEN $rest THEN '$l'"
+        }.mkString("\n            ")
+        s"""$tokPrelude,
+pad AS (SELECT doc_id, ' ' || array_to_string(toks, ' ') || ' ' AS s FROM base),
+tgs AS (SELECT doc_id, list_transform(range(1, greatest(len(s) - 2, 0) + 1),
+                                      i -> s[i:i+2]) AS tg FROM pad),
+sc AS (SELECT doc_id, len(tg) AS n,
+       $scoreCols
+FROM tgs)
+SELECT doc_id,
+       CASE WHEN n = 0 THEN 'unknown'
+            $pred
+            ELSE '${langs.last}' END AS lang_pred,
+       round(greatest(${langs.map(l => s"s_$l").mkString(", ")}), 6) AS score
+FROM sc"""
+      }),
+
     GateQuery("q_op_fingerprint",
       (s, d) => TextAnalysis.fingerprint(docs(s, d), w = 5),
       Some(s"""$tokPrelude

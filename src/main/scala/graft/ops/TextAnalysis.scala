@@ -81,6 +81,76 @@ object TextAnalysis {
           .as("lang_pred"))
   }
 
+  /** Character-trigram language profiles, derived deterministically from
+    * small ASCII common-word lists (public frequency-list heads): the
+    * profile of a language is every trigram of its padded words. Small by
+    * design — the scoring mechanism is the point; a production system
+    * swaps in bigger profiles (or a fastText model) at this seam.
+    */
+  val langWords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "den", "das", "nicht", "von", "sie",
+      "ist", "des", "sich", "mit", "dem", "dass", "ein", "ich", "auf",
+      "eine", "auch", "als", "nach", "wie", "man", "aber", "aus", "durch",
+      "wenn", "nur", "war", "noch", "werden", "bei", "hat", "wir", "wird",
+      "sein", "einen", "welche", "sind", "oder", "unter", "sehr", "zum"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was",
+      "for", "with", "as", "his", "they", "at", "be", "this", "have",
+      "from", "or", "one", "had", "by", "but", "not", "what", "all",
+      "were", "when", "your", "can", "said", "there", "use", "an", "each",
+      "which", "she", "do", "how", "their", "if", "will", "about"),
+    "es" -> Seq("los", "las", "una", "del", "por", "con", "para", "como",
+      "pero", "sus", "este", "esta", "entre", "cuando", "muy", "sin",
+      "sobre", "hasta", "donde", "quien", "desde", "todos", "durante",
+      "todo", "tiene", "tambien", "fue", "habia", "era", "siempre",
+      "tanto", "ella", "tres", "ese", "eso", "hay", "estar", "estos"),
+    "fr" -> Seq("les", "des", "est", "dans", "pour", "que", "une", "sur",
+      "avec", "pas", "par", "plus", "mais", "nous", "comme", "ses",
+      "leur", "sont", "vous", "tout", "fait", "elle", "aux", "cette",
+      "ont", "bien", "sans", "peut", "sous", "entre", "encore", "aussi",
+      "deux", "meme", "faire", "autre", "apres", "votre", "toute"))
+
+  /** lang → sorted distinct trigrams of its padded profile words. */
+  lazy val langTrigrams: Seq[(String, Seq[String])] =
+    langWords.map { case (l, ws) =>
+      l -> ws.flatMap { w =>
+        val p = s" $w "
+        (0 to p.length - 3).map(i => p.substring(i, i + 3))
+      }.distinct.sorted
+    }
+
+  /** n-gram language ID: the document's character trigrams (over the
+    * space-joined, space-padded token stream) are scored against each
+    * language profile as overlap ratio; prediction = argmax, ties to the
+    * lexicographically first language, empty docs → "unknown". One
+    * codegen'd pass of higher-order functions — no shuffle, no UDF.
+    */
+  def langIdNgram(docs: DataFrame): DataFrame = {
+    val padded = concat(lit(" "),
+      concat_ws(" ", tokensCol(col("text"))), lit(" "))
+    // sequence(1, n) DESCENDS for n < 1, so short strings need the guard
+    val tg = when(length(col("s")) < 3,
+      array().cast("array<string>")).otherwise(transform(
+      sequence(lit(1), length(col("s")) - lit(2)),
+      i => col("s").substr(i, lit(3))))
+    val scored = docs.select(col("doc_id"), padded.as("s"))
+      .select(col("doc_id"), tg.as("tg"))
+      .select(Seq(col("doc_id"), size(col("tg")).as("n")) ++
+        langTrigrams.map { case (l, prof) =>
+          size(filter(col("tg"), t => array_contains(typedlit(prof), t)))
+            .cast("double").as(s"c_$l")
+        }: _*)
+    val scores = langTrigrams.map { case (l, _) =>
+      l -> when(col("n") === 0, lit(0.0)).otherwise(col(s"c_$l") / col("n"))
+    }
+    val best = greatest(scores.map(_._2): _*)
+    // first language (asc order) whose score equals the max
+    val pred = scores.reverse.foldLeft(lit("unknown")) { case (acc, (l, s)) =>
+      when(col("n") > 0 && s === best, lit(l)).otherwise(acc)
+    }
+    scored.select(col("doc_id"), pred.as("lang_pred"),
+      round(best, 6).as("score"))
+  }
+
   /** Winnowing-style document fingerprint: md5 over every w-token shingle,
     * fingerprint = lexicographic min digest. Shingle enumeration is a
     * higher-order `transform` over token offsets — no explode, no shuffle.

@@ -146,6 +146,26 @@ class OpsSpec extends AnyFunSuite {
     assert(recall(2) <= r8)
   }
 
+  test("n-gram language ID classifies real sentences") {
+    val samples = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and it was not " +
+        "what they said there would be for all of them", "en"),
+      (2L, "der schnelle braune fuchs springt mit einem satz durch den " +
+        "wald und sie ist nicht das was wir auch noch werden", "de"),
+      (3L, "les enfants sont dans une maison avec leur mere et nous " +
+        "avons fait tout cela pour que vous soyez bien sans peur", "fr"),
+      (4L, "los ninos estan en una casa con sus padres y todos tienen " +
+        "este libro para cuando sea muy tarde sobre la mesa", "es"),
+      (5L, "", "unknown"))
+    val df = samples.map { case (id, t, _) => (id, t) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.langIdNgram(df).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    samples.foreach { case (id, _, want) =>
+      assert(got(id) == want, s"doc $id: got ${got(id)}, want $want")
+    }
+  }
+
   test("embedding self-similarity is 1") {
     val self = emb.limit(3).select(col("vec_id"),
       round(Similarity.cosineCol(col("embedding"), col("embedding")), 6)
