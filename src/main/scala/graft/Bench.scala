@@ -275,6 +275,13 @@ object Bench {
       val terms = q.split(' ').toSeq
       timedOrNeg(Wand.bm25TopK(spark, idx, terms, "default", 10).collect())
     }
+    // the reference's headline metric: total wall for the whole query set
+    // (data/exp1/time.txt — 26.5 s for 30 ranked-AND queries, 1 thread);
+    // concurrent job submission overlaps per-query scheduling latency
+    val trecWall = timedOrNeg {
+      engine.searchAll(benchQueries.zipWithIndex.map { case (q, i) =>
+        (i.toString, q) }, 100, parser, "bench", parallelism = 4)
+    }
 
     // --- gate queries on the sf tables ------------------------------------
     val gateTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -293,7 +300,7 @@ object Bench {
       new Directory(new java.io.File(scratch("stores"))).deleteRecursively()
     } catch { case _: Throwable => }
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","index_build":{"docs":$numDocs,"thru_lo_docs_per_sec":$thruLo%.1f,"thru_hi_docs_per_sec":$thruHi%.1f,"samples_lo":[$loA%.1f,$loB%.1f],"samples_hi":[$hiA%.1f,$hiB%.1f],"executors_lo":$exLo,"executors_hi":$exHi,"cpus_lo":$lo,"cpus_hi":$hi,"scaling_efficiency":$efficiency%.3f,"hw_cpu_scaling_factor":$hwCpuFactor%.3f,"hw_mem_bw_scaling_factor":$hwMemFactor%.3f,"hw_mem_bw_agg_gbps_lo":$memLo%.1f,"hw_mem_bw_agg_gbps_hi":$memHi%.1f,"scaling_efficiency_hw_normalized":$efficiencyNorm%.3f},"bm25_top10_p50_sec":{"exact":${p50(exactTimes)}%.3f,"wand":${p50(wandTimes)}%.3f}}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","index_build":{"docs":$numDocs,"thru_lo_docs_per_sec":$thruLo%.1f,"thru_hi_docs_per_sec":$thruHi%.1f,"samples_lo":[$loA%.1f,$loB%.1f],"samples_hi":[$hiA%.1f,$hiB%.1f],"executors_lo":$exLo,"executors_hi":$exHi,"cpus_lo":$lo,"cpus_hi":$hi,"scaling_efficiency":$efficiency%.3f,"hw_cpu_scaling_factor":$hwCpuFactor%.3f,"hw_mem_bw_scaling_factor":$hwMemFactor%.3f,"hw_mem_bw_agg_gbps_lo":$memLo%.1f,"hw_mem_bw_agg_gbps_hi":$memHi%.1f,"scaling_efficiency_hw_normalized":$efficiencyNorm%.3f},"bm25_top10_p50_sec":{"exact":${p50(exactTimes)}%.3f,"wand":${p50(wandTimes)}%.3f},"trec30_top100_wall_sec":$trecWall%.3f}"""
     // a bare file copy too: stdout goes through sbt's [info] prefix, which
     // round 1 showed the driver's JSON extraction can trip over
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json)

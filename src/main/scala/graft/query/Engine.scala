@@ -366,15 +366,43 @@ class Engine(val index: SearchIndex, val model: Model,
       else Window.orderBy(col("docId").desc)))
   }
 
-  /** TREC run rows for a set of (qid, query) pairs. */
+  /** TREC run rows for a set of (qid, query) pairs.
+    *
+    * With parallelism > 1 the per-query Spark jobs are submitted
+    * concurrently from a small driver pool — each query's work is tiny
+    * relative to job-scheduling latency, so a batch run (the reference's
+    * headline metric is the 30-query total wall) overlaps those
+    * latencies. Results keep query order; caches pinned by positional
+    * rescoring release at batch end (releasing per query could evict
+    * another in-flight query's cache mid-run).
+    */
   def searchAll(queries: Seq[(String, String)], numResults: Int,
-                parser: QueryParser, runId: String): Seq[graft.model.TrecResult] =
-    queries.flatMap { case (qid, q) =>
-      val rows = search(q, numResults, parser).collect()
-      releaseCaches() // positional rescoring pins caches per query
-      rows.map { r =>
+                parser: QueryParser, runId: String,
+                parallelism: Int = 1): Seq[graft.model.TrecResult] = {
+    def rowsOf(qid: String, q: String): Seq[graft.model.TrecResult] =
+      search(q, numResults, parser).collect().toSeq.map { r =>
         graft.model.TrecResult(qid, r.getAs[Long]("docId"),
           r.getAs[Int]("rank"), r.getAs[Double]("score"), runId)
       }
+    if (parallelism <= 1)
+      queries.flatMap { case (qid, q) =>
+        val rows = rowsOf(qid, q)
+        releaseCaches() // positional rescoring pins caches per query
+        rows
+      }
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val futs = queries.map { case (qid, q) =>
+          scala.concurrent.Future(rowsOf(qid, q))
+        }
+        val out = futs.flatMap(f =>
+          scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+        releaseCaches()
+        out
+      } finally pool.shutdown()
     }
+  }
 }

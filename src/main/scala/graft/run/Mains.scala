@@ -97,8 +97,9 @@ object StreamIndexMain {
   * RetrieverRunner.scala:71).
   *
   * Usage: QueryMain <indexDir> <queryFile> <outFile> <runId>
-  *                  [bm25|indri|boolean] [numResults] [--wand]
-  *    or: QueryMain <indexDir> --conf <propsFile> [--wand]
+  *                  [bm25|indri|boolean] [numResults] [--wand] [--par=N]
+  *    or: QueryMain <indexDir> --conf <propsFile> [--wand] [--par=N]
+  * --par=N submits N queries' jobs concurrently (output order unchanged).
   * The --conf form drives everything from a reference-style properties
   * file (RetrieverRunner.scala:21-29 takes the same): query path, output
   * path + run id, model + parameters, default operator, result count.
@@ -109,6 +110,9 @@ object QueryMain {
     val spark = Mains.session("graft-query")
     val indexDir = args(0)
     val useWand = args.contains("--wand")
+    val par = args.collectFirst {
+      case a if a.startsWith("--par=") => a.stripPrefix("--par=").toInt
+    }.getOrElse(1)
 
     val (queryFile, outFile, runId, modelName, k, model: Model, parser) =
       if (args(1) == "--conf") {
@@ -166,7 +170,7 @@ object QueryMain {
               engine.searchAll(Seq((qid, q)), k, parser, runId)
           }
         }
-      } else engine.searchAll(queries, k, parser, runId)
+      } else engine.searchAll(queries, k, parser, runId, parallelism = par)
     println(f"query wall: ${(System.nanoTime() - t0) / 1e9}%.2f s for ${queries.length} queries")
 
     val w = new PrintWriter(new File(outFile))

@@ -43,6 +43,9 @@ class TrecSpec extends AnyFunSuite {
       }
     }
     assert(got.map(_.formatted) == expected.map(_.formatted))
+    // concurrent submission must be result- and order-identical
+    val gotPar = engine.searchAll(queries, 10, parser, "r1", parallelism = 3)
+    assert(gotPar.map(_.formatted) == expected.map(_.formatted))
   }
 
   test("query file line parsing (qid:query)") {
