@@ -56,7 +56,10 @@ object Dedup {
     val frequent = sh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
       .filter(col("sdf") > maxShingleDf).select("shingle")
     val capped = sh.join(broadcast(frequent), Seq("shingle"), "left_anti")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // jaccard is over the CAPPED (informative) shingle sets on both sides
+    // of the ratio — dropping boilerplate from the intersection but not
+    // the union would silently deflate every score near a frequent shingle
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = capped.as("a").join(capped.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -27,6 +27,22 @@ import graft.index.{Codec, ParquetIndex}
   */
 object Wand {
 
+  /** WAND is rank-identical to the exact engine ONLY for a flat,
+    * duplicate-free, non-stop, default-field bag of words under #SUM/#AND
+    * (bm25TopK dedups repeated terms and has no nested-operator or field
+    * semantics). Returns the term bag when the parsed query qualifies;
+    * callers (QueryMain --wand) fall back to the exact engine otherwise.
+    */
+  def eligibleBag(node: QNode): Option[Seq[String]] = node match {
+    case QInner(QOp.SUM | QOp.AND, _, kids, _) =>
+      val terms = kids.collect { case QLeaf(t, "default", false) => t }
+      if (terms.length == kids.length && terms.nonEmpty &&
+          terms.distinct.length == terms.length) Some(terms)
+      else None
+    case QLeaf(t, "default", false) => Some(List(t))
+    case _ => None
+  }
+
   /** One query term's slice of index data for one range task. */
   case class TermSlice(idf: Double, blockBytes: Array[Array[Byte]],
                        blockFirst: Array[Long], blockCount: Array[Int],

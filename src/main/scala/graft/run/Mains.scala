@@ -139,26 +139,15 @@ object QueryMain {
     val queries = scala.io.Source.fromFile(queryFile).getLines()
       .filter(_.nonEmpty).map(QueryParser.parseQueryLine).toList
 
-    // WAND is rank-identical to the exact engine ONLY for a flat,
-    // duplicate-free, non-stop, default-field bag of words under #SUM
-    // (Wand.bm25TopK dedups repeated terms and has no nested-operator or
-    // field semantics). Any other shape silently diverging is worse than
-    // being slower: fall back to the exact engine per query.
-    def wandEligible(node: QNode): Option[Seq[String]] = node match {
-      case QInner(QOp.SUM | QOp.AND, _, kids, _) =>
-        val terms = kids.collect { case QLeaf(t, "default", false) => t }
-        if (terms.length == kids.length && terms.distinct.length == terms.length)
-          Some(terms)
-        else None
-      case QLeaf(t, "default", false) => Some(List(t))
-      case _ => None
-    }
     val t0 = System.nanoTime()
     val results: Seq[TrecResult] =
       if (useWand && modelName == "bm25") {
         queries.flatMap { case (qid, q) =>
-          wandEligible(parser.parse(q)) match {
-            case Some(terms) if terms.nonEmpty =>
+          // queries outside WAND's contract (duplicates, stop terms,
+          // nested ops, non-default fields) silently diverging would be
+          // worse than being slower: exact path per query instead
+          Wand.eligibleBag(parser.parse(q)) match {
+            case Some(terms) =>
               Wand.bm25TopK(spark, index, terms, "default", k).collect()
                 .zipWithIndex.map { case (r, i) =>
                   TrecResult(qid, r.getAs[Long]("docId"), i + 1,

@@ -38,10 +38,14 @@ class InvSpec extends AnyFunSuite {
       assert(inv.termStat(t, "default") == dfIndex.termStat(t, "default"))
     }
     val parser = new QueryParser(defaultOp = QOp.SUM)
-    def run(e: Engine) = e.search("key value spark", 15, parser).collect()
+    def run(e: Engine, q: String) = e.search(q, 15, parser).collect()
       .map(r => (r.getAs[Long]("docId"), r.getAs[Int]("rank"),
         math.rint(r.getAs[Double]("score") * 1e9) / 1e9)).toSeq
-    assert(run(new Engine(inv, BM25())) == run(new Engine(dfIndex, BM25())))
+    assert(run(new Engine(inv, BM25()), "key value spark")
+      == run(new Engine(dfIndex, BM25()), "key value spark"))
+    // positions survive the text round trip: positional query identical
+    assert(run(new Engine(inv, BM25()), "#near/2(key value)")
+      == run(new Engine(dfIndex, BM25()), "#near/2(key value)"))
   }
 
   test("missing list is empty, not an error") {

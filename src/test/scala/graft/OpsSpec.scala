@@ -187,4 +187,24 @@ class OpsSpec extends AnyFunSuite {
     val again = Multimodal.extract(media, featDim = 8).collect()
     assert(metas.map(_.width).sorted.sameElements(again.map(_.width).sorted))
   }
+
+  test("jaccard df-cap defuses boilerplate shingles (skew defense)") {
+    // 40 docs share an identical boilerplate prefix; their bodies are
+    // unrelated. Without the cap the boilerplate shingles pair all 40 docs
+    // quadratically; with the cap only the real near-dup pair survives.
+    val boiler = "terms of service apply to all content on this site"
+    val rows = (0L until 40L).map { i =>
+      val body = (0 until 30).map(j => s"u${i}x${j * 7 + i}").mkString(" ")
+      (i, s"$boiler $body")
+    } :+ (100L, s"$boiler alpha beta gamma delta epsilon zeta eta theta") :+
+      (101L, s"$boiler alpha beta gamma delta epsilon zeta eta iota")
+    val df = rows.toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccard(df, w = 3, threshold = 0.3,
+      maxShingleDf = 10L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 101L)), s"real near-dup missed: $pairs")
+    // no pair whose only overlap is the boilerplate prefix
+    assert(pairs.forall { case (a, b) => a == 100L && b == 101L },
+      s"boilerplate-only pairs leaked: $pairs")
+  }
 }

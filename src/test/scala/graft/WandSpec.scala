@@ -60,4 +60,19 @@ class WandSpec extends AnyFunSuite {
     val q = Seq("obama")
     assert(wandTopK(q, 100000, 8) == exactTopK(q, 100000))
   }
+
+  test("eligibleBag admits only WAND's contract (flat unique non-stop bag)") {
+    val p = new QueryParser(defaultOp = QOp.SUM)
+    assert(Wand.eligibleBag(p.parse("obama family tree"))
+      == Some(List("obama", "family", "tree")))
+    assert(Wand.eligibleBag(p.parse("obama")) == Some(List("obama")))
+    // duplicates: the exact path scores each occurrence, WAND dedups
+    assert(Wand.eligibleBag(p.parse("w1 w1 w1")).isEmpty)
+    // stop terms: exact path prunes them, a lone one returns empty
+    assert(Wand.eligibleBag(p.parse("the obama")).isEmpty)
+    // field restriction and nested operators have no WAND semantics
+    assert(Wand.eligibleBag(p.parse("obama+title family")).isEmpty)
+    assert(Wand.eligibleBag(p.parse("#sum(obama #and(a b))")).isEmpty)
+    assert(Wand.eligibleBag(p.parse("#near/2(obama family)")).isEmpty)
+  }
 }
