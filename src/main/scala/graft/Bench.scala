@@ -227,7 +227,9 @@ object Bench {
     // repeats within ±1% while the 4N level (the config that saturates
     // the box's bandwidth) swings ±25% with ambient load — so the 4N
     // level gets 2× the sampling time to draw across host windows.
-    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "180").toInt
+    // default keeps the WHOLE bench under ~9 min (round 1's 410 s total
+    // ran safely under the driver; unknown ceiling above that)
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "120").toInt
     val loBlock = math.max(30, budget / 3)
     val hiBlock = math.max(30, budget * 2 / 3)
     val loA = buildThroughput(exLo, numDocs, loBlock)
