@@ -42,6 +42,37 @@ object IndexCache {
     })
 }
 
+/** Shared per-sfDir PERSISTENT store over the documents table: the full
+  * build pipeline (docmap → mini-segments → VByte segment merge →
+  * termstats/docstats/collstats) into a deterministic temp dir, opened as
+  * a ParquetIndex — so the driver's oracle also exercises the real
+  * north-star artifact, not just the in-memory index. Synthetic urls are
+  * zero-padded doc_ids, so the store's url-sorted dense docIds equal the
+  * table's doc_ids and oracle SQL can join on them directly. Manifests
+  * make the build a no-op when the dir already exists (idempotent across
+  * JVMs and driver phases).
+  */
+object StoreCache {
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.index.ParquetIndex]
+
+  def documentsStore(spark: SparkSession, sfDir: String): graft.index.ParquetIndex =
+    cache.getOrElseUpdate(sfDir, {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-gate-store-" + math.abs(sfDir.hashCode)).getAbsolutePath
+      val pages = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(
+          format_string("doc%08d", col("doc_id")).as("url"),
+          lit(null).cast("timestamp").as("warc_ts"),
+          lit(null).cast("binary").as("html"),
+          col("text"), lit("en").as("lang"))
+      graft.index.IndexStore.build(pages, dir, graft.index.BuildConf(
+        numSlices = 1, numBuckets = 8, termBuckets = 16,
+        shufflePartitions = 8))
+      graft.index.IndexStore.open(spark, dir, 16)
+    })
+}
+
 /** DuckDB SQL building blocks shared by the IR oracle queries. The
   * tokenization must match graft.analysis.Tokenizer bit-for-bit:
   * lower + split on [^a-z0-9]+ with empties dropped.

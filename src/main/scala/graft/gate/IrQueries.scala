@@ -79,6 +79,30 @@ SELECT doc_id, rank, score FROM (
     GROUP BY 1))
 WHERE rank <= 20""")),
 
+    // End-to-end through the PERSISTENT store: docmap → mini-segments →
+    // VByte merge → ParquetIndex point lookups → BM25 top-20. Same oracle
+    // shape as q_ir_bm25_topk; store docIds == table doc_ids by url
+    // construction (StoreCache).
+    GateQuery("q_ir_store_bm25",
+      (s, d) => {
+        val e = new Engine(StoreCache.documentsStore(s, d), BM25())
+        e.search("key value table", 20, bm25Parser)
+          .select(col("docId").as("doc_id"), col("rank"),
+            round(col("score"), 6).as("score"))
+      },
+      Some(s"""${prelude()}
+SELECT doc_id, rank, score FROM (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY scoreraw DESC, doc_id DESC) AS rank,
+         round(scoreraw, 6) AS score
+  FROM (
+    SELECT p.doc_id AS doc_id, sum(${bm25("p.tf", "d.dl", "t.df")}) AS scoreraw
+    FROM post p JOIN dlen d USING (doc_id) JOIN tstat t USING (term)
+    CROSS JOIN stats s
+    WHERE p.term IN ('key', 'value', 'table')
+    GROUP BY 1))
+WHERE rank <= 20""")),
+
     // F1: stopword pruning — stop leaves skipped at evaluation; oracle
     // simply never mentions them.
     GateQuery("q_ir_bm25_stopprune",
