@@ -58,8 +58,10 @@ object StoreCache {
 
   def documentsStore(spark: SparkSession, sfDir: String): graft.index.ParquetIndex =
     cache.getOrElseUpdate(sfDir, {
+      // version tag: a stale store from an older BLOB FORMAT must not be
+      // reused across rounds (manifests would happily skip the rebuild)
       val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-gate-store-" + math.abs(sfDir.hashCode)).getAbsolutePath
+        "graft-gate-store-v2-" + math.abs(sfDir.hashCode)).getAbsolutePath
       val pages = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(
           format_string("doc%08d", col("doc_id")).as("url"),
