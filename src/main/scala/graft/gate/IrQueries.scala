@@ -209,9 +209,11 @@ GROUP BY 1""")),
           "3" -> "the about all") // q3 is all-stopwords → zero rows
         val rows = e.searchAll(queries, 10, bm25Parser, "gate")
         import s.implicits._
-        rows.map(r => (r.queryId, r.docId, r.rank,
-          math.rint(r.score * 1e6) / 1e6))
+        // round through the same `round(col, 6)` every other gate uses
+        // (half-up like DuckDB — math.rint would be half-even)
+        rows.map(r => (r.queryId, r.docId, r.rank, r.score))
           .toDF("qid", "doc_id", "rank", "score")
+          .withColumn("score", round(col("score"), 6))
       },
       Some {
         def one(qid: String, terms: Seq[String]) = {

@@ -29,15 +29,23 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("content_hash"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
 
-  /** Distinct w-token shingles per doc (the base of Jaccard and MinHash). */
-  def shingles(docs: DataFrame, w: Int): DataFrame =
+  /** Per-doc distinct w-token shingle ARRAYS — the pre-explode form.
+    * Signature generation consumes this directly (no shuffle); the
+    * pairing joins explode it.
+    */
+  def shingleArrays(docs: DataFrame, w: Int): DataFrame =
     docs.select(col("doc_id"), toksCol.as("toks"))
       .select(col("doc_id"),
-        explode(when(size(col("toks")) < w,
+        when(size(col("toks")) < w,
           array(concat_ws(" ", col("toks"))))
           .otherwise(array_distinct(transform(
             sequence(lit(0), size(col("toks")) - w),
-            i => concat_ws(" ", slice(col("toks"), i + 1, lit(w))))))).as("shingle"))
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(w)))))).as("shs"))
+
+  /** Distinct w-token shingles per doc (the base of Jaccard and MinHash). */
+  def shingles(docs: DataFrame, w: Int): DataFrame =
+    shingleArrays(docs, w)
+      .select(col("doc_id"), explode(col("shs")).as("shingle"))
 
   /** Near-duplicate pairs by exact n-gram Jaccard ≥ threshold.
     * Inverted join on shingle → per-pair intersection counts → sizes
@@ -47,29 +55,36 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, w: Int = 3, threshold: Double = 0.8,
                    maxShingleDf: Long = 10000L): DataFrame = {
-    val sh = shingles(docs, w)
+    val spark = docs.sparkSession
+    val arrs = shingleArrays(docs, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Frequent (boilerplate) shingles are the Zipf head: FEW distinct
-    // shingles, each in many docs. groupBy-count them (map-side combine,
-    // one narrow agg — no full sort-shuffle like a window) and broadcast
-    // the tiny frequent set as an anti join.
-    val frequent = sh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
-      .filter(col("sdf") > maxShingleDf).select("shingle")
-    val capped = sh.join(broadcast(frequent), Seq("shingle"), "left_anti")
+    // shingles, each in many docs — bounded by (total shingle occurrences
+    // / maxShingleDf), the same smallness a broadcast join needs. Collect
+    // that set once so the cap applies to the per-doc ARRAYS map-side:
+    // capped sizes then ride each row and the pair aggregation reuses one
+    // shuffle, instead of a separate sizes agg + two sizes joins.
+    val frequent = arrs.select(explode(col("shs")).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("sdf"))
+      .filter(col("sdf") > maxShingleDf)
+      .select("shingle").collect().map(_.getString(0)).toSet
+    val bcFreq = spark.sparkContext.broadcast(frequent)
+    val dropFrequent = udf { (shs: Seq[String]) =>
+      shs.filterNot(bcFreq.value.contains)
+    }
     // jaccard is over the CAPPED (informative) shingle sets on both sides
     // of the ratio — dropping boilerplate from the intersection but not
     // the union would silently deflate every score near a frequent shingle
-    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = capped.as("a").join(capped.as("b"),
+    val capped = arrs.select(col("doc_id"),
+        (if (frequent.isEmpty) col("shs") else dropFrequent(col("shs"))).as("shs"))
+      .select(col("doc_id"), size(col("shs")).as("sz"),
+        explode(col("shs")).as("shingle"))
+    capped.as("a").join(capped.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "id_a")
-        .withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("sz", "sz_b"), "id_b")
+      .agg(count(lit(1)).as("inter"),
+        first(col("a.sz")).as("sz_a"), first(col("b.sz")).as("sz_b"))
       .withColumn("jacraw", col("inter").cast("double") /
         (col("sz_a") + col("sz_b") - col("inter")))
       // threshold on the RAW jaccard (the oracle filters raw); round only
@@ -90,8 +105,9 @@ object Dedup {
   }
 
   /** MinHash signatures: sig(i) = min over shingles of mix(hash ^ seed_i).
-    * Computed per-doc in one pass over the shingle set (UDF over the
-    * collected shingle array — arrays are per-doc bounded).
+    * Computed per-doc in one pass over the per-row distinct-shingle array
+    * (shingleArrays) — signature generation is SHUFFLE-FREE; the only
+    * exchanges in minhashLsh are the banding join itself.
     */
   def minhashSignatures(docs: DataFrame, w: Int = 3,
                         numHashes: Int = 32): DataFrame = {
@@ -109,8 +125,7 @@ object Dedup {
         m
       }
     }
-    shingles(docs, w).groupBy("doc_id")
-      .agg(collect_list("shingle").as("shs"))
+    shingleArrays(docs, w)
       .select(col("doc_id"), sigUdf(col("shs")).as("sig"))
   }
 

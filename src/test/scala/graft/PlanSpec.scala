@@ -40,6 +40,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash signature generation is shuffle-free") {
+    // sig = UDF over the per-row distinct-shingle array: a projection,
+    // never an explode→groupBy round trip (that shuffle was every shingle
+    // string moving just to undo the explode)
+    val p = planOf(Dedup.minhashSignatures(docs, 3, 32))
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("ranked top-k lowers to TakeOrdered (bounded heap), not a full sort") {
     val idx = gate.IndexCache.documentsIndex(spark, sf)
     val e = new graft.query.Engine(idx, graft.query.BM25())
