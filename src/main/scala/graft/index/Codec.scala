@@ -141,12 +141,11 @@ object Codec {
     private var curMaxTf = 0
     private var curMinDl = Int.MaxValue
 
-    /** `tf` feeds cf and block-max metadata only; the BYTES written are
-      * dl + rec, where rec's leading count doubles as tf (invariant:
-      * rec = encodePositions of exactly tf positions for term postings,
-      * of zero positions for doclen sentinels).
+    /** Posting head (block bookkeeping + docId delta + dl); the caller then
+      * appends the positions tail (count + deltas) in one of three
+      * byte-identical ways below.
       */
-    def add(docId: Long, tf: Int, dl: Int, rec: Array[Byte]): Unit = {
+    private def begin(docId: Long, tf: Int, dl: Int): Unit = {
       if (n % BlockSize == 0) {
         if (n > 0) { bMaxTf += curMaxTf; bMinDl += curMinDl }
         bFirst += docId
@@ -156,7 +155,6 @@ object Codec {
       }
       out.writeVLong(docId - prev)
       out.writeVInt(dl)
-      out.writeBytes(rec)
       if (n == 0) first = docId
       last = docId
       prev = docId
@@ -164,6 +162,49 @@ object Codec {
       if (tf > curMaxTf) curMaxTf = tf
       if (dl < curMinDl) curMinDl = dl
       n += 1
+    }
+
+    /** `tf` feeds cf and block-max metadata only; the BYTES written are
+      * dl + rec, where rec's leading count doubles as tf (invariant:
+      * rec = encodePositions of exactly tf positions for term postings,
+      * of zero positions for doclen sentinels).
+      */
+    def add(docId: Long, tf: Int, dl: Int, rec: Array[Byte]): Unit = {
+      begin(docId, tf, dl)
+      out.writeBytes(rec)
+    }
+
+    /** Positions encoded IN PLACE — byte-identical to
+      * `add(docId, np, dl, encodePositions(pos, np))` without the
+      * intermediate rec array (the mini-segment hot loop's allocation).
+      */
+    def addPositions(docId: Long, dl: Int, pos: Array[Int], np: Int): Unit = {
+      begin(docId, np, dl)
+      out.writeVInt(np)
+      var prevP = 0
+      var i = 0
+      while (i < np) { out.writeVInt(pos(i) - prevP); prevP = pos(i); i += 1 }
+    }
+
+    /** Concatenation of two ascending position runs, the second shifted by
+      * `off` — byte-identical to `add(docId, an+bn, dl,
+      * encodePositionsMerged(a, an, b, bn, off))` (the default field's
+      * title-run + body-run posting).
+      */
+    def addPositionsMerged(docId: Long, dl: Int, a: Array[Int], an: Int,
+                           b: Array[Int], bn: Int, off: Int): Unit = {
+      begin(docId, an + bn, dl)
+      out.writeVInt(an + bn)
+      var prevP = 0
+      var i = 0
+      while (i < an) { out.writeVInt(a(i) - prevP); prevP = a(i); i += 1 }
+      i = 0
+      while (i < bn) {
+        val p = b(i) + off
+        out.writeVInt(p - prevP)
+        prevP = p
+        i += 1
+      }
     }
 
     def finish(): Segment = {

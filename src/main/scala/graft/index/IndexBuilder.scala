@@ -92,35 +92,60 @@ object IndexBuilder {
     pagesWithId.select("docId", "text", "url").as[(Long, String, String)]
       .mapPartitions { it =>
         val rows = scala.collection.mutable.ArrayBuffer.empty[SegmentRow]
-        final class Acc(term: String, field: String) {
+        val fieldNames = Array("default", "title", "body", "url")
+        val dict = new TermDict
+        val emptyPos = Array.emptyIntArray
+
+        final class Acc(termId: Int, fieldIdx: Int) {
           private var bucket = -1L
           private var last = -1L
           private var enc: Codec.SegmentEncoder = null
           def flush(): Unit = if (enc != null) {
             val s = enc.finish()
-            rows += SegmentRow(term, field, bucket.toInt, s.n, s.firstDocId,
+            rows += SegmentRow(if (termId < 0) "" else dict.term(termId),
+              fieldNames(fieldIdx), bucket.toInt, s.n, s.firstDocId,
               s.lastDocId, s.cf, s.blob, s.blockFirst, s.blockOff,
               s.blockMaxTf, s.blockMinDl, s.blockN)
             enc = null
           }
-          def add(docId: Long, tf: Int, dl: Int, rec: Array[Byte]): Unit = {
+          private def ready(docId: Long): Codec.SegmentEncoder = {
             val b = docId / rangeSize
             if (enc == null || b != bucket || docId <= last) {
               flush(); enc = new Codec.SegmentEncoder; bucket = b
             }
-            enc.add(docId, tf, dl, rec)
             last = docId
+            enc
           }
+          def addPos(docId: Long, dl: Int, pos: Array[Int], np: Int): Unit =
+            ready(docId).addPositions(docId, dl, pos, np)
+          def addMerged(docId: Long, dl: Int, a: Array[Int], an: Int,
+                        b: Array[Int], bn: Int, off: Int): Unit =
+            ready(docId).addPositionsMerged(docId, dl, a, an, b, bn, off)
         }
+
         // Hot-loop layout (this stage is ~60% of build wall and memory-
-        // bandwidth-bound — every allocation counts at 10^12 docs):
-        //  - one Acc map PER FIELD with plain String keys (no tuple alloc
-        //    or double hash per (term, field) lookup),
-        //  - per-doc term vectors as primitive-int position buffers (a
-        //    generic ArrayBuffer[Int] would box all ~10^3 positions/doc),
-        //  - the default field derived by MERGING the title and body
-        //    vectors (positions concatenate with an offset) instead of
-        //    re-walking — each token is hashed once, not twice.
+        // bandwidth-bound — bandwidth-bound code gets faster by moving
+        // fewer bytes, so every per-token allocation is gone):
+        //  - tokens intern to dense int ids (TermDict): no per-token String
+        //    allocation, no String-keyed map probe per token,
+        //  - accumulators are flat arrays indexed by termId,
+        //  - per-doc term vectors are generation-stamped primitive position
+        //    buffers REUSED across docs (no per-doc map),
+        //  - positions encode DIRECTLY into the accumulator's encoder — the
+        //    per-(doc, term) intermediate rec byte array is gone too.
+        val accArrs = Array.fill(4)(new Array[Acc](1 << 16))
+        def acc(f: Int, id: Int): Acc = {
+          var arr = accArrs(f)
+          if (id >= arr.length) {
+            arr = java.util.Arrays.copyOf(arr, math.max(arr.length * 2, id + 1))
+            accArrs(f) = arr
+          }
+          var a = arr(id)
+          if (a == null) { a = new Acc(id, f); arr(id) = a }
+          a
+        }
+        val lenAccs = Array.tabulate(4)(f => new Acc(-1, f))
+
         final class PosBuf {
           var a = new Array[Int](4)
           var n = 0
@@ -129,82 +154,134 @@ object IndexBuilder {
             a(n) = v; n += 1
           }
         }
-        val fieldNames = Array("default", "title", "body", "url")
-        val accs = Array.fill(4)(new java.util.HashMap[String, Acc])
-        val lenAccs = Array.tabulate(4)(f => new Acc("", fieldNames(f)))
-        def acc(f: Int, term: String): Acc = {
-          var a = accs(f).get(term)
-          if (a == null) { a = new Acc(term, fieldNames(f)); accs(f).put(term, a) }
-          a
-        }
-        val emptyRec = Codec.encodePositions(Array.emptyIntArray)
 
-        def vector(tokens: Array[String]): java.util.LinkedHashMap[String, PosBuf] = {
-          val m = new java.util.LinkedHashMap[String, PosBuf]
-          var i = 0
-          while (i < tokens.length) {
-            var b = m.get(tokens(i))
-            if (b == null) { b = new PosBuf; m.put(tokens(i), b) }
-            b.add(i); i += 1
-          }
-          m
-        }
-        def emit(f: Int, docId: Long, dl: Int,
-                 m: java.util.LinkedHashMap[String, PosBuf]): Unit = {
-          lenAccs(f).add(docId, 0, dl, emptyRec) // doclen sentinel (in dl)
-          val eit = m.entrySet().iterator()
-          while (eit.hasNext) {
-            val e = eit.next()
-            val b = e.getValue
-            acc(f, e.getKey).add(docId, b.n, dl,
-              Codec.encodePositions(b.a, b.n))
+        /** Per-doc (termId → positions) vector: stamped arrays indexed by
+          * id, cleared by a generation bump, touched ids tracked for
+          * emission (iteration order differs from the old insertion-order
+          * map — irrelevant: adds go to independent per-term accumulators
+          * and the final row sort fixes emission order).
+          */
+        final class DocVec {
+          private var stamp = new Array[Int](1 << 16)
+          private var bufs = new Array[PosBuf](1 << 16)
+          val touched = new IntBuf
+          private var gen = 0
+          def begin(): Unit = { gen += 1; touched.clear() }
+          def buf(id: Int): PosBuf =
+            if (id < stamp.length && stamp(id) == gen) bufs(id) else null
+          def add(id: Int, pos: Int): Unit = {
+            if (id >= stamp.length) {
+              val m = math.max(stamp.length * 2, id + 1)
+              stamp = java.util.Arrays.copyOf(stamp, m)
+              bufs = java.util.Arrays.copyOf(bufs, m)
+            }
+            var b = bufs(id)
+            if (b == null) { b = new PosBuf; bufs(id) = b }
+            if (stamp(id) != gen) { stamp(id) = gen; b.n = 0; touched.add(id) }
+            b.add(pos)
           }
         }
+        val tv = new DocVec
+        val bv = new DocVec
+        val tIds = new IntBuf
+        val bIds = new IntBuf
+        val uIds = new IntBuf
 
-        it.foreach { case (docId, text, url) =>
+        def flushAll(): Unit = {
+          accArrs.foreach { arr =>
+            var i = 0
+            while (i < arr.length) {
+              val a = arr(i)
+              if (a != null) a.flush()
+              i += 1
+            }
+          }
+          lenAccs.foreach(_.flush())
+        }
+
+        // docmap docIds are dense, so within one scan run rows are
+        // CONSECUTIVE docIds. Spark may pack non-adjacent splits into one
+        // task — an ascending docId JUMP (not caught by the per-Acc
+        // regression cut) then marks a run boundary, and every open mini
+        // must cut there: a mini spanning the gap would interleave with
+        // other tasks' minis covering the gap's interior, and the segment
+        // merge is a disjoint-range byte concat (SegmentMerger requires
+        // strictly ascending ranges).
+        var prevDoc = Long.MinValue
+
+        it.foreach { case (docId, text0, url) =>
+          if (prevDoc != Long.MinValue && docId != prevDoc + 1) flushAll()
+          prevDoc = docId
           // default = title tokens ++ body tokens ('\n' separates)
+          val text = if (text0 == null) "" else text0
           val nl = text.indexOf('\n')
           val (title, body) =
             if (nl >= 0) (text.substring(0, nl), text.substring(nl + 1))
             else (text, "")
-          val tToks = Tokenizer.tokenize(title)
-          val bToks = Tokenizer.tokenize(body)
-          val uToks = Tokenizer.tokenize(url)
-          val tv = vector(tToks)
-          val bv = vector(bToks)
-          val dl = tToks.length + bToks.length
+          dict.tokenizeInto(title, tIds)
+          dict.tokenizeInto(body, bIds)
+          dict.tokenizeInto(url, uIds)
+          tv.begin()
+          var i = 0
+          while (i < tIds.n) { tv.add(tIds.a(i), i); i += 1 }
+          bv.begin()
+          i = 0
+          while (i < bIds.n) { bv.add(bIds.a(i), i); i += 1 }
+          val dl = tIds.n + bIds.n
 
-          // default field: title vector, then body-only terms; shared terms
-          // get title positions ++ (body positions + |title|)
-          lenAccs(0).add(docId, 0, dl, emptyRec)
-          val tit = tv.entrySet().iterator()
-          while (tit.hasNext) {
-            val e = tit.next()
-            val b1 = e.getValue
-            val b2 = bv.get(e.getKey)
-            val rec =
-              if (b2 == null) Codec.encodePositions(b1.a, b1.n)
-              else Codec.encodePositionsMerged(b1.a, b1.n, b2.a, b2.n, tToks.length)
-            acc(0, e.getKey).add(docId, b1.n + (if (b2 == null) 0 else b2.n), dl, rec)
+          // default field: title positions, then body-only terms; shared
+          // terms get title positions ++ (body positions + |title|)
+          lenAccs(0).addPos(docId, dl, emptyPos, 0) // doclen sentinel (in dl)
+          var k = 0
+          while (k < tv.touched.n) {
+            val id = tv.touched.a(k)
+            val t = tv.buf(id)
+            val b = bv.buf(id)
+            if (b == null) acc(0, id).addPos(docId, dl, t.a, t.n)
+            else acc(0, id).addMerged(docId, dl, t.a, t.n, b.a, b.n, tIds.n)
+            k += 1
           }
-          val bit = bv.entrySet().iterator()
-          while (bit.hasNext) {
-            val e = bit.next()
-            if (!tv.containsKey(e.getKey)) {
-              val b = e.getValue
-              acc(0, e.getKey).add(docId, b.n, dl,
-                Codec.encodePositionsMerged(Array.emptyIntArray, 0, b.a, b.n, tToks.length))
+          k = 0
+          while (k < bv.touched.n) {
+            val id = bv.touched.a(k)
+            if (tv.buf(id) == null) {
+              val b = bv.buf(id)
+              acc(0, id).addMerged(docId, dl, emptyPos, 0, b.a, b.n, tIds.n)
             }
+            k += 1
           }
-          emit(1, docId, tToks.length, tv)
-          emit(2, docId, bToks.length, bv)
-          emit(3, docId, uToks.length, vector(uToks))
+          // title field
+          lenAccs(1).addPos(docId, tIds.n, emptyPos, 0)
+          k = 0
+          while (k < tv.touched.n) {
+            val id = tv.touched.a(k)
+            val t = tv.buf(id)
+            acc(1, id).addPos(docId, tIds.n, t.a, t.n)
+            k += 1
+          }
+          // body field
+          lenAccs(2).addPos(docId, bIds.n, emptyPos, 0)
+          k = 0
+          while (k < bv.touched.n) {
+            val id = bv.touched.a(k)
+            val b = bv.buf(id)
+            acc(2, id).addPos(docId, bIds.n, b.a, b.n)
+            k += 1
+          }
+          // url field (reuses tv — title/default consumed it above)
+          tv.begin()
+          i = 0
+          while (i < uIds.n) { tv.add(uIds.a(i), i); i += 1 }
+          lenAccs(3).addPos(docId, uIds.n, emptyPos, 0)
+          k = 0
+          while (k < tv.touched.n) {
+            val id = tv.touched.a(k)
+            val t = tv.buf(id)
+            acc(3, id).addPos(docId, uIds.n, t.a, t.n)
+            k += 1
+          }
         }
-        accs.foreach { m =>
-          val vit = m.values().iterator()
-          while (vit.hasNext) vit.next().flush()
-        }
-        lenAccs.foreach(_.flush())
+        flushAll()
         // deterministic emission order (resume reproducibility)
         rows.sortBy(r => (r.field, r.term, r.bucket, r.firstDocId)).iterator
       }

@@ -194,15 +194,20 @@ object IndexStore {
     // stage 1: mini-segments, one resumable docId-range slice at a time ----
     // The scan's split size gates this stage's parallelism (it is the
     // build's CPU-dominant stage): size splits so one slice yields ~2
-    // tasks per core instead of whatever the session default gives.
+    // tasks per core instead of whatever the session default gives — but
+    // CAP the split at 64 MB: a task's accumulator live set (per-term
+    // encoders + emitted rows) is ~3× its input bytes, so the cap bounds
+    // executor memory PER TASK regardless of corpus or cluster size (an
+    // uncapped lo-level split at 480k docs reached ~180 MB input ≈ 0.5 GB
+    // live and OOM'd a 5 GB executor running 4 such tasks).
     val sliceSize = math.max(1L, (totalDocs + conf.numSlices - 1) / conf.numSlices)
     val docmapBytes = {
       val p = Paths.get(out, "docmap")
       val s = Files.list(p)
       try s.mapToLong(f => Files.size(f)).sum finally s.close()
     }
-    val splitTarget = math.max(1L << 21,
-      docmapBytes / conf.numSlices / (conf.shufflePartitions * 2L))
+    val splitTarget = math.min(64L << 20, math.max(1L << 21,
+      docmapBytes / conf.numSlices / (conf.shufflePartitions * 2L)))
     val prevSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
     spark.conf.set("spark.sql.files.maxPartitionBytes", splitTarget.toString)
     try {
@@ -262,9 +267,15 @@ object IndexStore {
       "blockMaxTf", "blockMinDl", "blockN")
     val minis =
       if (keepSentinels) minis0 else minis0.filter(col("term") =!= "")
+    // shuffle key includes the docId-range bucket: (field, tb) alone is
+    // 4×termBuckets coarse keys whose byte weight is wildly skewed (the
+    // default field dominates), so reducers straggled; buckets are
+    // near-uniform byte slices, giving fields×tb×buckets fine-grained keys
+    // that balance. Multiple tasks may then write the same (field, tb)
+    // directory — parquet partitionBy handles that (one file per task).
     val merged = minis
       .withColumn("tb", pmod(xxhash64(col("term")), lit(conf.termBuckets)))
-      .repartition(conf.shufflePartitions, col("field"), col("tb"))
+      .repartition(conf.shufflePartitions, col("field"), col("tb"), col("bucket"))
       .sortWithinPartitions("term", "field", "bucket", "firstDocId")
       .select(segCols.map(col): _*)
       .as[SegmentRow]
@@ -281,9 +292,14 @@ object IndexStore {
               x.term == term && x.field == field && x.bucket == bucket
             }) {
               val m = in.next()
-              merger.append(Codec.Segment(m.blob, m.n, m.firstDocId,
+              try merger.append(Codec.Segment(m.blob, m.n, m.firstDocId,
                 m.lastDocId, m.segCf, m.blockFirst, m.blockOff,
                 m.blockMaxTf, m.blockMinDl, m.blockN))
+              catch { case e: IllegalArgumentException =>
+                throw new IllegalStateException(
+                  s"merging term='$term' field=$field bucket=$bucket " +
+                    s"(mini n=${m.n} first=${m.firstDocId} last=${m.lastDocId}): ${e.getMessage}", e)
+              }
             }
             val s = merger.finish()
             SegmentRow(term, field, bucket, s.n, s.firstDocId, s.lastDocId,

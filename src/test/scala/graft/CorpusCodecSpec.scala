@@ -131,4 +131,35 @@ class CorpusCodecSpec extends AnyFunSuite {
     assert(Tokenizer.tokenize("...").isEmpty)
     assert(Tokenizer.tokenize("a  b\nc\td").toList == List("a", "b", "c", "d"))
   }
+
+  test("TermDict.tokenizeInto spells exactly Tokenizer.tokenize (incl. non-ASCII fallback)") {
+    import graft.analysis.Tokenizer
+    import graft.index.{IntBuf, TermDict}
+    val dict = new TermDict(4) // tiny initial capacity — exercise growth
+    val buf = new IntBuf
+    def toks(s: String): List[String] = {
+      dict.tokenizeInto(s, buf)
+      (0 until buf.n).map(i => dict.term(buf.a(i))).toList
+    }
+    val cases = Seq(
+      "Hello, World-42!", "", "...", "a  b\nc\td",
+      "MiXeD CaSe 007 tail", "trailing word",
+      // non-ASCII reroutes the whole text through the legacy tokenizer:
+      // U+0130 lowercases to 2 chars, U+212A lowercases to ASCII 'k'
+      "naïve café résumé", "Xİy z", "Kelvin scale",
+      "Über grment")
+    cases.foreach { s =>
+      assert(toks(s) == Tokenizer.tokenize(s).toList, s"input: $s")
+    }
+    // randomized cross-check incl. unicode (exercises interning + reuse)
+    val gen = Gen.listOfN(40, Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)), Gen.const(" "), Gen.const("-"),
+      Gen.const("é"), Gen.const("W0"))).map(_.mkString)
+    forAll(gen, 80) { s =>
+      assert(toks(s) == Tokenizer.tokenize(s).toList, s"input: $s")
+    }
+    // ids are stable: same term → same id across calls
+    dict.tokenizeInto("alpha beta alpha", buf)
+    assert(buf.n == 3 && buf.a(0) == buf.a(2) && buf.a(0) != buf.a(1))
+  }
 }
