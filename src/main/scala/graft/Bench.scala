@@ -290,6 +290,7 @@ object Bench {
     // times the QUERY (pruned point lookups); the one-time index build is
     // an index metric, reported separately as store_build_sec.
     val storeBuildSec = timedOrNeg(gate.StoreCache.documentsStore(spark, sfDir))
+    val streamBuildSec = timedOrNeg(gate.StreamStoreCache.documentsStore(spark, sfDir))
     val gateTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
@@ -306,7 +307,7 @@ object Bench {
       new Directory(new java.io.File(scratch("stores"))).deleteRecursively()
     } catch { case _: Throwable => }
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","index_build":{"docs":$numDocs,"thru_lo_docs_per_sec":$thruLo%.1f,"thru_hi_docs_per_sec":$thruHi%.1f,"samples_lo":[$loA%.1f,$loB%.1f],"samples_hi":[$hiA%.1f,$hiB%.1f],"executors_lo":$exLo,"executors_hi":$exHi,"cpus_lo":$lo,"cpus_hi":$hi,"scaling_efficiency":$efficiency%.3f,"hw_cpu_scaling_factor":$hwCpuFactor%.3f,"hw_mem_bw_scaling_factor":$hwMemFactor%.3f,"hw_mem_bw_agg_gbps_lo":$memLo%.1f,"hw_mem_bw_agg_gbps_hi":$memHi%.1f,"scaling_efficiency_hw_normalized":$efficiencyNorm%.3f},"bm25_top10_p50_sec":{"exact":${p50(exactTimes)}%.3f,"wand":${p50(wandTimes)}%.3f},"trec30_top100_wall_sec":$trecWall%.3f,"store_build_sec":$storeBuildSec%.3f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","index_build":{"docs":$numDocs,"thru_lo_docs_per_sec":$thruLo%.1f,"thru_hi_docs_per_sec":$thruHi%.1f,"samples_lo":[$loA%.1f,$loB%.1f],"samples_hi":[$hiA%.1f,$hiB%.1f],"executors_lo":$exLo,"executors_hi":$exHi,"cpus_lo":$lo,"cpus_hi":$hi,"scaling_efficiency":$efficiency%.3f,"hw_cpu_scaling_factor":$hwCpuFactor%.3f,"hw_mem_bw_scaling_factor":$hwMemFactor%.3f,"hw_mem_bw_agg_gbps_lo":$memLo%.1f,"hw_mem_bw_agg_gbps_hi":$memHi%.1f,"scaling_efficiency_hw_normalized":$efficiencyNorm%.3f},"bm25_top10_p50_sec":{"exact":${p50(exactTimes)}%.3f,"wand":${p50(wandTimes)}%.3f},"trec30_top100_wall_sec":$trecWall%.3f,"store_build_sec":$storeBuildSec%.3f,"stream_build_sec":$streamBuildSec%.3f}"""
     // a bare file copy too: stdout goes through sbt's [info] prefix, which
     // round 1 showed the driver's JSON extraction can trip over; stderr is
     // printed as well in case the driver greps either stream

@@ -75,6 +75,47 @@ object StoreCache {
     })
 }
 
+/** Shared per-sfDir STREAMING store over the documents table: the same
+  * corpus ingested as N arrival-ordered micro-batches through
+  * StreamingIndexer.processBatch (the exact foreachBatch code path —
+  * hwm docId allocation, idempotence manifests), then sealed into the
+  * derived tables and opened as a ParquetIndex. Batches are ascending
+  * doc_id ranges and urls are zero-padded doc_ids, so the hwm-allocated
+  * arrival-order docIds equal the table's doc_ids — the batch store's
+  * oracle shape applies unchanged. Manifests make every step a no-op when
+  * the store already exists (idempotent across JVMs and driver phases).
+  */
+object StreamStoreCache {
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.index.ParquetIndex]
+  val NumBatches = 4
+
+  def documentsStore(spark: SparkSession, sfDir: String): graft.index.ParquetIndex =
+    cache.getOrElseUpdate(sfDir, {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-gate-stream-v1-" + math.abs(sfDir.hashCode)).getAbsolutePath
+      val conf = graft.index.BuildConf(numSlices = 1, numBuckets = 8,
+        termBuckets = 16, shufflePartitions = 8)
+      if (!graft.index.IndexStore.isCommitted(dir, "collstats")) {
+        val pages = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id").cast("long").as("doc_id"),
+            format_string("doc%08d", col("doc_id")).as("url"),
+            lit(null).cast("timestamp").as("warc_ts"),
+            lit(null).cast("binary").as("html"),
+            col("text"), lit("en").as("lang"))
+        val maxId = pages.agg(max("doc_id")).collect()(0).getLong(0)
+        val span = maxId / NumBatches + 1
+        (0 until NumBatches).foreach { b =>
+          val batch = pages.filter(col("doc_id") >= b * span &&
+            col("doc_id") < (b + 1L) * span).drop("doc_id")
+          graft.streaming.StreamingIndexer.processBatch(batch, b, dir, conf)
+        }
+        graft.streaming.StreamingIndexer.seal(spark, dir, conf)
+      }
+      graft.index.IndexStore.open(spark, dir, 16)
+    })
+}
+
 /** DuckDB SQL building blocks shared by the IR oracle queries. The
   * tokenization must match graft.analysis.Tokenizer bit-for-bit:
   * lower + split on [^a-z0-9]+ with empties dropped.

@@ -103,6 +103,32 @@ SELECT doc_id, rank, score FROM (
     GROUP BY 1))
 WHERE rank <= 20""")),
 
+    // End-to-end through the STREAMING store: 4 arrival-ordered
+    // micro-batches (StreamingIndexer.processBatch — hwm docId allocation,
+    // per-batch manifests) → seal → ParquetIndex → BM25 top-20. Streaming
+    // docIds are arrival-order; batches ascend by doc_id and urls are
+    // zero-padded doc_ids, so docIds == doc_ids (same trick as the batch
+    // store gate) and the oracle shape is identical.
+    GateQuery("q_ir_stream_bm25",
+      (s, d) => {
+        val e = new Engine(StreamStoreCache.documentsStore(s, d), BM25())
+        e.search("query plan value", 20, bm25Parser)
+          .select(col("docId").as("doc_id"), col("rank"),
+            round(col("score"), 6).as("score"))
+      },
+      Some(s"""${prelude()}
+SELECT doc_id, rank, score FROM (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY scoreraw DESC, doc_id DESC) AS rank,
+         round(scoreraw, 6) AS score
+  FROM (
+    SELECT p.doc_id AS doc_id, sum(${bm25("p.tf", "d.dl", "t.df")}) AS scoreraw
+    FROM post p JOIN dlen d USING (doc_id) JOIN tstat t USING (term)
+    CROSS JOIN stats s
+    WHERE p.term IN ('query', 'plan', 'value')
+    GROUP BY 1))
+WHERE rank <= 20""")),
+
     // F1: stopword pruning — stop leaves skipped at evaluation; oracle
     // simply never mentions them.
     GateQuery("q_ir_bm25_stopprune",
