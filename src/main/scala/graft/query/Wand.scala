@@ -27,26 +27,37 @@ import graft.index.{Codec, ParquetIndex}
   */
 object Wand {
 
-  /** WAND is rank-identical to the exact engine ONLY for a flat,
-    * duplicate-free, non-stop, default-field bag of words under #SUM/#AND
-    * (bm25TopK dedups repeated terms and has no nested-operator or field
-    * semantics). Returns the term bag when the parsed query qualifies;
-    * callers (QueryMain --wand) fall back to the exact engine otherwise.
+  /** WAND is rank-identical to the exact engine for a FLAT default-field
+    * bag of words under #SUM/#AND. Stop leaves are dropped here exactly
+    * like the exact path's F1 pruning (StructuredRetriever.scala:29-33),
+    * and duplicate terms stay in the bag — bm25TopK scores them with
+    * multiplicity (the union-with-defaults #SUM adds each child's score,
+    * so k copies of a term contribute k·score). Returns the term bag when
+    * the parsed query qualifies; callers (QueryMain --wand) fall back to
+    * the exact engine for nested operators and field restrictions.
     */
   def eligibleBag(node: QNode): Option[Seq[String]] = node match {
     case QInner(QOp.SUM | QOp.AND, _, kids, _) =>
-      val terms = kids.collect { case QLeaf(t, "default", false) => t }
-      if (terms.length == kids.length && terms.nonEmpty &&
-          terms.distinct.length == terms.length) Some(terms)
-      else None
+      val leaves = kids.collect { case l: QLeaf => l }
+      if (leaves.length != kids.length) None // nested operator
+      else if (leaves.exists(_.field != "default")) None // field restriction
+      else {
+        val terms = leaves.filterNot(_.isStop).map(_.term)
+        if (terms.nonEmpty) Some(terms) else None // all-stop → exact (empty)
+      }
     case QLeaf(t, "default", false) => Some(List(t))
     case _ => None
   }
 
-  /** One query term's slice of index data for one range task. */
+  /** One query term's slice of index data for one range task. `weight` is
+    * the term's multiplicity in the query bag (score and upper bound both
+    * scale by it; scaling by a positive int preserves the UB's dominance
+    * because rounding is monotone).
+    */
   case class TermSlice(idf: Double, blockBytes: Array[Array[Byte]],
                        blockFirst: Array[Long], blockCount: Array[Int],
-                       blockMaxTf: Array[Int], blockMinDl: Array[Int])
+                       blockMaxTf: Array[Int], blockMinDl: Array[Int],
+                       weight: Int = 1)
 
   private final class Cursor(ts: TermSlice, k1: Double, b: Double,
                              avgdl: Double, rangeStart: Long, rangeEnd: Long) {
@@ -74,7 +85,7 @@ object Wand {
 
     def blockUb(j: Int): Double =
       if (ts.idf <= 0) 0.0
-      else ts.idf * partial(ts.blockMaxTf(j), ts.blockMinDl(j))
+      else ts.weight * (ts.idf * partial(ts.blockMaxTf(j), ts.blockMinDl(j)))
 
     def ub: Double =
       if (bi >= suffixUb.length) 0.0
@@ -83,7 +94,7 @@ object Wand {
     private def partial(tf: Int, dl: Int): Double =
       tf / (tf + k1 * ((1 - b) + b * dl / avgdl))
 
-    def score: Double = ts.idf * partial(curTf, curDl)
+    def score: Double = ts.weight * (ts.idf * partial(curTf, curDl))
 
     private def loadBlock(j: Int): Unit = {
       bi = j
@@ -213,6 +224,11 @@ object Wand {
     val coll = index.collStats
     val n = coll.docCount.toDouble
     val avgdl = coll.avgDocLen
+    // duplicate terms score with multiplicity k as k·(idf·partial) — the
+    // same floating-point shape as the exact path's k-fold score addition
+    // (s+s is exactly 2s, so k ≤ 3 is bit-identical; beyond that the exact
+    // path's own summation order is already ulp-ambiguous)
+    val mult = terms.groupBy(identity).map { case (t, g) => t -> g.size }
     val idfs = terms.distinct.flatMap { t =>
       val (df, _) = index.termStat(t, field)
       if (df == 0) None
@@ -222,6 +238,7 @@ object Wand {
       return Seq.empty[(Long, Double)].toDF("docId", "score")
     val rangeSize = math.max(1L, (coll.docCount + numRanges - 1) / numRanges)
     val bcIdf = spark.sparkContext.broadcast(idfs)
+    val bcMult = spark.sparkContext.broadcast(mult)
 
     val segs = idfs.keys.map(t =>
       index.segmentsOf(t, field).withColumn("qterm", lit(t))).reduce(_ union _)
@@ -258,7 +275,7 @@ object Wand {
           TermSlice(bcIdf.value(term),
             sorted.map(_._3).toArray, sorted.map(_._4).toArray,
             sorted.map(_._5).toArray, sorted.map(_._6).toArray,
-            sorted.map(_._7).toArray)
+            sorted.map(_._7).toArray, bcMult.value.getOrElse(term, 1))
         }.toSeq
         val mk1 = model.k1
         val mb = model.b

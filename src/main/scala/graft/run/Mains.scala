@@ -108,32 +108,51 @@ object QueryMain {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: QueryMain <indexDir> <queryFile> <outFile> <runId> [model] [k] [--wand] | <indexDir> --conf <props> [--wand]")
     val spark = Mains.session("graft-query")
+    try run(spark, args) finally spark.stop()
+  }
+
+  /** The job body, session-agnostic — tests (GoldensSpec) drive the full
+    * --conf pipeline in-process without owning the session lifecycle.
+    */
+  def run(spark: SparkSession, args: Array[String]): Unit = {
     val indexDir = args(0)
     val useWand = args.contains("--wand")
     val par = args.collectFirst {
       case a if a.startsWith("--par=") => a.stripPrefix("--par=").toInt
     }.getOrElse(1)
 
+    val confOpt =
+      if (args(1) == "--conf") Some(graft.util.GraftConfig.load(args(2)))
+      else None
     val (queryFile, outFile, runId, modelName, k, model: Model, parser) =
-      if (args(1) == "--conf") {
-        val conf = graft.util.GraftConfig.load(args(2))
-        val m = conf.model
-        val name = conf.retrieverName
-        (conf.queryPath, s"${conf.outputPath.stripSuffix("/")}/${conf.runId}",
-          conf.runId, name, conf.numResults, m, conf.parser)
-      } else {
-        require(args.length >= 4, "usage: QueryMain <indexDir> <queryFile> <outFile> <runId> [model] [k] [--wand]")
-        val name = if (args.length > 4) args(4) else "bm25"
-        val kk = if (args.length > 5) args(5).toInt else 100
-        val (m: Model, defaultOp) = name match {
-          case "boolean" => (Bool(ranked = true), QOp.OR)
-          case "indri"   => (Indri(), QOp.AND)
-          case _         => (BM25(), QOp.SUM)
-        }
-        (args(1), args(2), args(3), name, kk, m,
-          new QueryParser(defaultOp = defaultOp))
+      confOpt match {
+        case Some(conf) =>
+          (conf.queryPath, s"${conf.outputPath.stripSuffix("/")}/${conf.runId}",
+            conf.runId, conf.retrieverName, conf.numResults, conf.model,
+            conf.parser)
+        case None =>
+          require(args.length >= 4, "usage: QueryMain <indexDir> <queryFile> <outFile> <runId> [model] [k] [--wand]")
+          val name = if (args.length > 4) args(4) else "bm25"
+          val kk = if (args.length > 5) args(5).toInt else 100
+          val (m: Model, defaultOp) = name match {
+            case "boolean" => (Bool(ranked = true), QOp.OR)
+            case "indri"   => (Indri(), QOp.AND)
+            case _         => (BM25(), QOp.SUM)
+          }
+          (args(1), args(2), args(3), name, kk, m,
+            new QueryParser(defaultOp = defaultOp))
       }
-    val index = IndexStore.open(spark, indexDir)
+    // A reference-style config may point at a text `.inv` tree
+    // (yairs.inv.basename, conf/boolean.properties:12): open it with
+    // config-injected collection stats — the reference's own pattern
+    // (conf/bm25.properties:38-41). Otherwise the parquet store at indexDir.
+    val index: graft.index.SearchIndex = confOpt
+      .filter(c => c.getOrElse("yairs.inv.basename", null) != null)
+      .map { c =>
+        new graft.index.InvIndex(spark, c.invBasename, c.collStats.getOrElse(
+          sys.error("yairs.document.count (+ stats keys) must be configured with yairs.inv.basename")))
+      }
+      .getOrElse(IndexStore.open(spark, indexDir))
     val engine = new Engine(index, model)
 
     val queries = scala.io.Source.fromFile(queryFile).getLines()
@@ -141,21 +160,23 @@ object QueryMain {
 
     val t0 = System.nanoTime()
     val results: Seq[TrecResult] =
-      if (useWand && modelName == "bm25") {
+      if (useWand && modelName == "bm25" &&
+          index.isInstanceOf[graft.index.ParquetIndex]) {
+        val pidx = index.asInstanceOf[graft.index.ParquetIndex]
         queries.flatMap { case (qid, q) =>
-          // queries outside WAND's contract (duplicates, stop terms,
-          // nested ops, non-default fields) silently diverging would be
-          // worse than being slower: exact path per query instead
+          // queries outside WAND's contract (nested operators, field
+          // restrictions) silently diverging would be worse than being
+          // slower: exact path per query instead
           Wand.eligibleBag(parser.parse(q)) match {
             case Some(terms) =>
-              Wand.bm25TopK(spark, index, terms, "default", k).collect()
+              Wand.bm25TopK(spark, pidx, terms, "default", k).collect()
                 .zipWithIndex.map { case (r, i) =>
                   TrecResult(qid, r.getAs[Long]("docId"), i + 1,
                     r.getAs[Double]("score"), runId)
                 }
             case _ =>
               System.err.println(
-                s"[query] $qid not a flat unique bag of words; exact path")
+                s"[query] $qid not a flat bag of words; exact path")
               engine.searchAll(Seq((qid, q)), k, parser, runId)
           }
         }
@@ -167,7 +188,6 @@ object QueryMain {
       w.println(TrecResult.header)
       results.foreach(r => w.println(r.formatted))
     } finally w.close()
-    spark.stop()
   }
 }
 

@@ -61,18 +61,38 @@ class WandSpec extends AnyFunSuite {
     assert(wandTopK(q, 100000, 8) == exactTopK(q, 100000))
   }
 
-  test("eligibleBag admits only WAND's contract (flat unique non-stop bag)") {
+  test("eligibleBag admits flat bags (duplicates + stop terms included)") {
     val p = new QueryParser(defaultOp = QOp.SUM)
     assert(Wand.eligibleBag(p.parse("obama family tree"))
       == Some(List("obama", "family", "tree")))
     assert(Wand.eligibleBag(p.parse("obama")) == Some(List("obama")))
-    // duplicates: the exact path scores each occurrence, WAND dedups
-    assert(Wand.eligibleBag(p.parse("w1 w1 w1")).isEmpty)
-    // stop terms: exact path prunes them, a lone one returns empty
-    assert(Wand.eligibleBag(p.parse("the obama")).isEmpty)
+    // duplicates stay in the bag: bm25TopK scores them with multiplicity
+    assert(Wand.eligibleBag(p.parse("w1 w1 w1"))
+      == Some(List("w1", "w1", "w1")))
+    // stop terms are dropped exactly like the exact path's F1 pruning
+    assert(Wand.eligibleBag(p.parse("the obama")) == Some(List("obama")))
+    // an ALL-stop bag has no WAND terms → exact path (empty result)
+    assert(Wand.eligibleBag(p.parse("the about all")).isEmpty)
     // field restriction and nested operators have no WAND semantics
     assert(Wand.eligibleBag(p.parse("obama+title family")).isEmpty)
     assert(Wand.eligibleBag(p.parse("#sum(obama #and(a b))")).isEmpty)
     assert(Wand.eligibleBag(p.parse("#near/2(obama family)")).isEmpty)
+  }
+
+  test("duplicate terms score with multiplicity, rank-identical to exact") {
+    // exact path: #SUM over k copies adds the term's score k times; WAND
+    // folds k into the idf. doubling is exact in FP (score*2 == s+s), so
+    // top-k agrees bit-for-bit at 1e-9 here
+    Seq(Seq("obama", "obama"), Seq("w1", "w1", "obama"),
+        Seq("family", "family", "family", "tree")).foreach { q =>
+      assert(wandTopK(q, 10, 4) == exactTopK(q, 10), s"query $q")
+    }
+  }
+
+  test("stop-term bags stay on the WAND path, rank-identical to exact") {
+    val p = new QueryParser(defaultOp = QOp.SUM)
+    val bag = Wand.eligibleBag(p.parse("the obama family")).get
+    assert(bag == List("obama", "family"))
+    assert(wandTopK(bag, 10, 4) == exactTopK(Seq("the", "obama", "family"), 10))
   }
 }
