@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   * over mapInPandas: one JVM-side pass per partition, vectorizable batch
   * shape, no per-row driver involvement).
   *
-  * The actual media decode is STUBBED (no image/audio libs in this
-  * container): `decodeStub` derives deterministic fake metadata + features
-  * from the bytes, while everything Spark-side — schema, binary transport,
-  * partition batching, feature vector shape — is real and tested. A real
-  * decoder drops into `decodeStub` without touching the plumbing.
+  * Decode: ONE real format is implemented — uncompressed 24/32-bit BMP
+  * (`decodeBmp`, pure JVM, no image libs needed) — and every other payload
+  * falls back to `decodeStub`, a deterministic fake (no JPEG/PNG/audio
+  * codecs ship in this container). Schema, binary transport, partition
+  * batching and feature shape are identical on both paths, so further real
+  * decoders drop into the same seam without touching the plumbing.
   */
 object Multimodal {
 
@@ -36,8 +37,54 @@ object Multimodal {
     MediaMeta(id, n, width, height, channels, feats)
   }
 
+  /** Real decode of one format: uncompressed 24/32-bit BMP
+    * (BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER, BI_RGB). Returns None
+    * for anything else. Validation is strict — magic, header size, plane
+    * count, compression, and dimensions consistent with the actual byte
+    * count — so arbitrary text/binary payloads cannot false-positive into
+    * the real-decode path.
+    *
+    * Features: mean pixel intensity of `featDim` horizontal bands, top to
+    * bottom (BMP rows are stored bottom-up for positive heights), in
+    * [0, 1] — a real, deterministic image statistic.
+    */
+  def decodeBmp(id: Long, bytes: Array[Byte], featDim: Int): Option[MediaMeta] = {
+    def u16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    def i32(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
+      ((bytes(o + 2) & 0xFF) << 16) | ((bytes(o + 3) & 0xFF) << 24)
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    val pixOff = i32(10)
+    val hdrSize = i32(14)
+    val width = i32(18)
+    val height = i32(22)
+    val planes = u16(26)
+    val bpp = u16(28)
+    val compression = i32(30)
+    if (hdrSize != 40 || planes != 1 || compression != 0) return None
+    if (width <= 0 || height == 0 || (bpp != 24 && bpp != 32)) return None
+    val rows = math.abs(height)
+    val channels = bpp / 8
+    val rowBytes = ((width * channels + 3) / 4) * 4 // rows pad to 4 bytes
+    if (pixOff < 54 ||
+        pixOff.toLong + rows.toLong * rowBytes > bytes.length) return None
+    val feats = new Array[Float](featDim)
+    var f = 0
+    while (f < featDim) {
+      val r = (f.toLong * rows / featDim).toInt // image row, top to bottom
+      val storageRow = if (height > 0) rows - 1 - r else r
+      val rowStart = pixOff + storageRow * rowBytes
+      var sum = 0L
+      var x = 0
+      while (x < width * channels) { sum += (bytes(rowStart + x) & 0xFF); x += 1 }
+      feats(f) = (sum.toDouble / (width * channels) / 255.0).toFloat
+      f += 1
+    }
+    Some(MediaMeta(id, bytes.length, width, rows, channels, feats))
+  }
+
   /** (doc_id, payload binary) → typed metadata + feature vector, one
-    * partition-local batch pass.
+    * partition-local batch pass. Real BMP decode when the payload is one;
+    * deterministic stub otherwise.
     */
   def extract(media: DataFrame, featDim: Int = 8): Dataset[MediaMeta] = {
     val spark = media.sparkSession
@@ -45,7 +92,8 @@ object Multimodal {
     media.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        decodeStub(id, if (bytes == null) Array.empty[Byte] else bytes, featDim)
+        val b = if (bytes == null) Array.empty[Byte] else bytes
+        decodeBmp(id, b, featDim).getOrElse(decodeStub(id, b, featDim))
       })
   }
 

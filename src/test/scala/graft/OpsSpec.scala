@@ -188,6 +188,39 @@ class OpsSpec extends AnyFunSuite {
     assert(metas.map(_.width).sorted.sameElements(again.map(_.width).sorted))
   }
 
+  test("multimodal decode: a real BMP decodes its true geometry + pixels") {
+    // hand-built 3×2 24bpp uncompressed BMP: bottom row solid 10s, top row
+    // solid 200s (BMP stores rows bottom-up; rows pad to 4 bytes)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val rowBytes = 12 // 3 px × 3 ch = 9, padded to 12
+    val fileSize = 54 + 2 * rowBytes
+    val header =
+      Array('B'.toByte, 'M'.toByte) ++ le32(fileSize) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(3) ++ le32(2) ++ le16(1) ++ le16(24) ++ le32(0) ++
+        le32(2 * rowBytes) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val bottom = Array.fill[Byte](9)(10) ++ Array.fill[Byte](3)(0)
+    val top = Array.fill[Byte](9)(200.toByte) ++ Array.fill[Byte](3)(0)
+    val bmp = header ++ bottom ++ top
+    assert(header.length == 54 && bmp.length == fileSize)
+
+    val m = Multimodal.decodeBmp(7L, bmp, featDim = 2).get
+    assert(m.width == 3 && m.height == 2 && m.channels == 3 &&
+      m.n_bytes == fileSize)
+    // band 0 = image top (storage row 1) = 200s; band 1 = bottom = 10s
+    assert(math.abs(m.features(0) - 200f / 255f) < 1e-6)
+    assert(math.abs(m.features(1) - 10f / 255f) < 1e-6)
+
+    // the same bytes through the Spark plumbing hit the real-decode path
+    val media = spark.createDataset(Seq((7L, bmp))).toDF("doc_id", "payload")
+    val viaExtract = Multimodal.extract(media, featDim = 2).collect()(0)
+    assert(viaExtract.width == 3 && viaExtract.height == 2)
+
+    // a text payload does NOT false-positive into the BMP path
+    assert(Multimodal.decodeBmp(1L, "BMnot an image at all, just text that is long enough".getBytes, 2).isEmpty)
+  }
+
   test("jaccard df-cap defuses boilerplate shingles (skew defense)") {
     // 40 docs share an identical boilerplate prefix; their bodies are
     // unrelated. Without the cap the boilerplate shingles pair all 40 docs
