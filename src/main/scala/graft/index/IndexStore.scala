@@ -54,7 +54,15 @@ case class BuildConf(
       * is unknown up front there; must stay constant for a store's life).
       * Batch builds derive the bucket size from the docmap count instead.
       */
-    streamBucketDocs: Long = 1L << 16)
+    streamBucketDocs: Long = 1L << 16,
+    /** Mini-segment scan split size in bytes; 0 derives it from the docmap
+      * size and shuffle partitions. Set explicitly when two runs must do
+      * IDENTICAL per-row work (the scaling benchmark: task boundaries cut
+      * mini-segments, so a split size that varies with cluster size gives
+      * the bigger cluster more rows to merge — different work, not a
+      * scaling measurement).
+      */
+    splitBytes: Long = 0L)
 
 object IndexStore {
 
@@ -181,8 +189,14 @@ object IndexStore {
     if (!isCommitted(out, "docmap")) {
       val (ids, release) = assignDocIds(filtered, conf.shufflePartitions)
       val obs = org.apache.spark.sql.Observation("docmap")
+      // bounded row groups: the mini-segment scan parallelizes by byte
+      // range, but a range only reads row groups whose MIDPOINT it covers —
+      // with the parquet default (128 MB) the effective task granularity is
+      // one row group no matter what maxPartitionBytes asks for
       ids.observe(obs, count(lit(1)).as("docs"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$out/docmap")
+        .write.mode(SaveMode.Overwrite)
+        .option("parquet.block.size", (16L << 20).toString)
+        .parquet(s"$out/docmap")
       commit(out, "docmap", Map("docs" -> obs.get("docs").asInstanceOf[Long]))
       release()
     }
@@ -206,8 +220,10 @@ object IndexStore {
       val s = Files.list(p)
       try s.mapToLong(f => Files.size(f)).sum finally s.close()
     }
-    val splitTarget = math.min(64L << 20, math.max(1L << 21,
-      docmapBytes / conf.numSlices / (conf.shufflePartitions * 2L)))
+    val splitTarget =
+      if (conf.splitBytes > 0) conf.splitBytes
+      else math.min(64L << 20, math.max(1L << 21,
+        docmapBytes / conf.numSlices / (conf.shufflePartitions * 2L)))
     val prevSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
     spark.conf.set("spark.sql.files.maxPartitionBytes", splitTarget.toString)
     try {

@@ -220,7 +220,7 @@ object BuildProf {
           s"${new java.io.File(".").getCanonicalPath}/target/scala-2.13/yairsspark_2.13-0.1.0.jar"))
           .config("spark.executor.memory", "5g") // worker mem ≠ executor heap
           // size GC/netty pools for the executor's cores, not the box's
-          .config("spark.executor.extraJavaOptions", "-XX:ActiveProcessorCount=4")
+          .config("spark.executor.extraJavaOptions", "-XX:ActiveProcessorCount=4 -Xms5g -XX:+AlwaysPreTouch")
       else builder0
       val spark = builder
         .config("spark.sql.shuffle.partitions", cpus.toString)
@@ -242,17 +242,28 @@ object BuildProf {
               val wall = (for {
                 s <- sc.stageInfo.submissionTime; e <- sc.stageInfo.completionTime
               } yield e - s).getOrElse(0L)
-              println(f"[stage ${sc.stageInfo.stageId}%3d] ${sc.stageInfo.numTasks}%4d tasks wall=${wall / 1e3}%6.1fs run=${m.executorRunTime / 1e3}%7.1fs cpu=${m.executorCpuTime / 1e9}%7.1fs gc=${m.jvmGCTime / 1e3}%6.1fs shufW=${m.shuffleWriteMetrics.bytesWritten / 1e6}%8.1fM shufR=${m.shuffleReadMetrics.totalBytesRead / 1e6}%8.1fM fetchWait=${m.shuffleReadMetrics.fetchWaitTime / 1e3}%5.1fs util=${if (wall > 0) m.executorRunTime.toDouble / wall / cpus else 0}%4.2f  ${sc.stageInfo.name.take(60)}")
+              println(f"[stage ${sc.stageInfo.stageId}%3d] ${sc.stageInfo.numTasks}%4d tasks wall=${wall / 1e3}%6.1fs run=${m.executorRunTime / 1e3}%7.1fs cpu=${m.executorCpuTime / 1e9}%7.1fs gc=${m.jvmGCTime / 1e3}%6.1fs shufW=${m.shuffleWriteMetrics.bytesWritten / 1e6}%8.1fM shufR=${m.shuffleReadMetrics.totalBytesRead / 1e6}%8.1fM fetchWait=${m.shuffleReadMetrics.fetchWaitTime / 1e3}%5.1fs spillM=${m.memoryBytesSpilled / 1e6}%7.1fM spillD=${m.diskBytesSpilled / 1e6}%7.1fM outW=${m.outputMetrics.bytesWritten / 1e6}%7.1fM util=${if (wall > 0) m.executorRunTime.toDouble / wall / cpus else 0}%4.2f  ${sc.stageInfo.name.take(60)}")
             }
           }
         })
+      // SAME work at every level (see Bench.buildConf): only reducer count
+      // scales; numBuckets + splitBytes pin per-row work, corpus parquet is
+      // materialized untimed with a fixed file count
       val conf = graft.index.BuildConf(numSlices = 1,
-        numBuckets = math.max(8, cpus), termBuckets = 32,
-        shufflePartitions = cpus)
+        numBuckets = 16, termBuckets = 32,
+        shufflePartitions = cpus, splitBytes = 16L << 20)
+      def corpus(n: Long): String = {
+        val path = s"$base/../corpus-$n"
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
+          SyntheticCorpus.pages(spark, n, 64).toDF()
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .option("parquet.block.size", (16L << 20).toString).parquet(path)
+        path
+      }
       def once(tag: String, n: Long): Unit = {
         val dir = java.nio.file.Files.createTempDirectory(
           java.nio.file.Paths.get(base), s"p$cpus-").toString
-        val pages = SyntheticCorpus.pages(spark, n, cpus * 2).toDF()
+        val pages = spark.read.parquet(corpus(n))
         val t0 = System.nanoTime()
         IndexStore.build(pages, dir, conf)
         val dt = (System.nanoTime() - t0) / 1e9
