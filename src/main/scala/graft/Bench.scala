@@ -270,8 +270,8 @@ object Bench {
     val calHi = cpuCalibration(hi)
     val hwCpuFactor = (calHi / calLo) / (hi.toDouble / lo) // <= 1
     memCalibration(lo)
-    val memLo = (1 to 3).map(_ => memCalibration(lo)).max
-    val memHi = (1 to 3).map(_ => memCalibration(hi)).max
+    val memLo = (1 to 2).map(_ => memCalibration(lo)).max
+    val memHi = (1 to 2).map(_ => memCalibration(hi)).max
     val hwMemFactor = (memHi / memLo) / (hi.toDouble / lo) // <= 1
 
     // --- index-build scaling: COUNTERBALANCED lo/hi/lo/hi blocks ----------
@@ -283,25 +283,40 @@ object Bench {
     // repeats within ±1% while the 4N level (the config that saturates
     // the box's bandwidth) swings ±25% with ambient load — so the 4N
     // level gets 2× the sampling time to draw across host windows.
-    // default keeps the WHOLE bench under ~9 min (round 1's 410 s total
-    // ran safely under the driver; unknown ceiling above that)
-    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "100").toInt
-    val loBlock = math.max(25, budget / 4)
+    // default keeps the WHOLE bench under ~9.5 min (round 2's 505 s total
+    // ran safely under the driver; unknown ceiling above that). A host
+    // TROUGH can stretch one timed run to 2-3x (observed 95 s for a 37 s
+    // lo build), so the sampling loops also respect a global DEADLINE —
+    // better to report fewer samples than to have the driver kill the
+    // whole bench with no JSON at all.
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "80").toInt
+    val deadline = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_S", "420").toInt
+    val tScale = System.nanoTime()
+    def remainS: Double = deadline - (System.nanoTime() - tScale) / 1e9
+    // thread-scaling companion FIRST (cheap and bounded — no cluster
+    // spawns): local[8] vs local[32], counterbalanced lo/hi/lo — a single
+    // lo sample can land in a host trough (observed: 6.0k docs/s in a
+    // trough vs 13.9k steady) and turn the ratio into noise
+    val thrTLoA = threadThroughput(8, numDocs, 1)
+    val thrTHi = threadThroughput(32, numDocs, if (remainS > 330) 2 else 1)
+    val thrTLoB =
+      if (remainS > 300) threadThroughput(8, numDocs, 1) else 0.0
+    val thrTLo = math.max(thrTLoA, thrTLoB)
+    val effThreads =
+      if (thrTLo > 0) (thrTHi / thrTLo) / 4.0 else 0.0
+    // executor-scaling blocks consume whatever deadline remains (each
+    // block still takes >=1 full sample even when a trough-stretched run
+    // has eaten the clock)
+    val loBlock = math.max(20, budget / 4)
     val hiBlock = math.max(60, budget * 3 / 4)
-    val loA = buildThroughput(exLo, numDocs, loBlock)
-    val hiA = buildThroughput(exHi, numDocs, hiBlock)
-    val loB = buildThroughput(exLo, numDocs, loBlock)
-    val hiB = buildThroughput(exHi, numDocs, hiBlock)
+    def block(b: Int): Int = math.max(1, math.min(b, remainS.toInt))
+    val loA = buildThroughput(exLo, numDocs, block(loBlock))
+    val hiA = buildThroughput(exHi, numDocs, block(hiBlock))
+    val loB = buildThroughput(exLo, numDocs, block(loBlock))
+    val hiB = buildThroughput(exHi, numDocs, block(hiBlock))
     val thruLo = math.max(loA, loB)
     val thruHi = math.max(hiA, hiB)
     val efficiency = (thruHi / thruLo) / (hi.toDouble / lo)
-    // thread-scaling companion: local[8] vs local[32] (one sample at 8 —
-    // that config repeats within ±1%; best-of-3 at 32, the window-hostage
-    // config)
-    val thrTLo = threadThroughput(8, numDocs, 1)
-    val thrTHi = threadThroughput(32, numDocs, 3)
-    val effThreads =
-      if (thrTLo > 0) (thrTHi / thrTLo) / 4.0 else 0.0
     // normalize by the measured memory-bandwidth ceiling (the build is
     // bandwidth-bound; see memCalibration scaladoc + BASELINE.md)
     val efficiencyNorm =
@@ -312,12 +327,11 @@ object Bench {
     val spark = session(exHi)
     val qDir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(scratch("stores")), "q-").toString
-    try IndexStore.build(SyntheticCorpus.pages(spark, numDocs, hi * 2).toDF(),
-      qDir, buildConf(hi))
+    def qPages = spark.read.parquet(corpusParquet(spark, numDocs))
+    try IndexStore.build(qPages, qDir, buildConf(hi))
     catch { case _: Throwable =>
       // resumes from committed stage manifests — one retry finishes it
-      IndexStore.build(SyntheticCorpus.pages(spark, numDocs, hi * 2).toDF(),
-        qDir, buildConf(hi))
+      IndexStore.build(qPages, qDir, buildConf(hi))
     }
     val idx = IndexStore.open(spark, qDir, 32)
     val parser = new QueryParser(defaultOp = QOp.SUM)
