@@ -88,7 +88,8 @@ object Bench {
     */
   private def buildConf(cpus: Int) = BuildConf(
     numSlices = 1, numBuckets = 16,
-    termBuckets = 32, shufflePartitions = cpus, splitBytes = 16L << 20)
+    termBuckets = 32, shufflePartitions = cpus, splitBytes = 16L << 20,
+    segmentPartitions = 64)
 
   /** Corpus parquet materialized ONCE (untimed): the north rule times an
     * index build over a TABLE of pages, and synthesizing text inside the

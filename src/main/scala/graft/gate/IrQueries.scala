@@ -103,6 +103,34 @@ SELECT doc_id, rank, score FROM (
     GROUP BY 1))
 WHERE rank <= 20""")),
 
+    // Block-max WAND top-k over the persistent store — the pruning path
+    // must be RANK-IDENTICAL to the exhaustive oracle (same BM25 SQL as
+    // q_ir_store_bm25): the driver, not just WandSpec, witnesses that
+    // skipping blocks by upper bound never changes the answer.
+    GateQuery("q_ir_wand_bm25",
+      (s, d) => {
+        val idx = StoreCache.documentsStore(s, d)
+        val top = graft.query.Wand.bm25TopK(s, idx,
+          Seq("table", "spark", "plan"), "default", 20)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("docId").desc)
+        top.withColumn("rank", row_number().over(w))
+          .select(col("docId").as("doc_id"), col("rank"),
+            round(col("score"), 6).as("score"))
+      },
+      Some(s"""${prelude()}
+SELECT doc_id, rank, score FROM (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY scoreraw DESC, doc_id DESC) AS rank,
+         round(scoreraw, 6) AS score
+  FROM (
+    SELECT p.doc_id AS doc_id, sum(${bm25("p.tf", "d.dl", "t.df")}) AS scoreraw
+    FROM post p JOIN dlen d USING (doc_id) JOIN tstat t USING (term)
+    CROSS JOIN stats s
+    WHERE p.term IN ('table', 'spark', 'plan')
+    GROUP BY 1))
+WHERE rank <= 20""")),
+
     // End-to-end through the STREAMING store: 4 arrival-ordered
     // micro-batches (StreamingIndexer.processBatch — hwm docId allocation,
     // per-batch manifests) → seal → ParquetIndex → BM25 top-20. Streaming

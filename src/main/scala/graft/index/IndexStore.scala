@@ -62,7 +62,16 @@ case class BuildConf(
       * the bigger cluster more rows to merge — different work, not a
       * scaling measurement).
       */
-    splitBytes: Long = 0L)
+    splitBytes: Long = 0L,
+    /** Reducer count for the segments merge shuffle; 0 = shufflePartitions.
+      * Each merge task buffers its partition through TWO sorts (the
+      * shuffle's term-order sort and the partitionBy write's dir-order
+      * sort), so partitions must be sized to execution memory — 8
+      * partitions of a 3.2 GB merge spilled 3.6 GB per run while 64
+      * partitions of ~50 MB spill nothing. Size by data volume, not by
+      * cluster size.
+      */
+    segmentPartitions: Int = 0)
 
 object IndexStore {
 
@@ -289,9 +298,12 @@ object IndexStore {
     // near-uniform byte slices, giving fields×tb×buckets fine-grained keys
     // that balance. Multiple tasks may then write the same (field, tb)
     // directory — parquet partitionBy handles that (one file per task).
+    val segParts =
+      if (conf.segmentPartitions > 0) conf.segmentPartitions
+      else conf.shufflePartitions
     val merged = minis
       .withColumn("tb", pmod(xxhash64(col("term")), lit(conf.termBuckets)))
-      .repartition(conf.shufflePartitions, col("field"), col("tb"), col("bucket"))
+      .repartition(segParts, col("field"), col("tb"), col("bucket"))
       .sortWithinPartitions("term", "field", "bucket", "firstDocId")
       .select(segCols.map(col): _*)
       .as[SegmentRow]
@@ -336,6 +348,10 @@ object IndexStore {
           .cast("long").as("postings"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("field", "tb")
+      // the blob column IS the compression (docId-delta varints);
+      // measured: snappy shrinks the table only ~6% while costing real
+      // CPU in the build's one non-scaling stage AND on every query read
+      .option("compression", "none")
       .parquet(s"$out/segments")
     val m = obs.get
     commit(out, "segments", Map(

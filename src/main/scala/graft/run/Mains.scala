@@ -251,7 +251,8 @@ object BuildProf {
       // materialized untimed with a fixed file count
       val conf = graft.index.BuildConf(numSlices = 1,
         numBuckets = 16, termBuckets = 32,
-        shufflePartitions = cpus, splitBytes = 16L << 20)
+        shufflePartitions = cpus, splitBytes = 16L << 20,
+        segmentPartitions = 64)
       def corpus(n: Long): String = {
         val path = s"$base/../corpus-$n"
         if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
