@@ -103,6 +103,102 @@ SELECT doc_id, rank, score FROM (
     GROUP BY 1))
 WHERE rank <= 20""")),
 
+    // trec_eval over an engine-produced run: BM25 top-50 for three
+    // single-term queries, judged set = docs containing the term
+    // (relevant iff tf >= 2) — fully deterministic from the documents
+    // table on both sides. Pins the evaluation half of the reference's
+    // workflow (its committed .res.txt results are trec_eval outputs):
+    // map, R-prec, bpref, recip_rank, interpolated precision, P@k.
+    GateQuery("q_ir_trec_eval",
+      (s, d) => {
+        val idx = IndexCache.documentsIndex(s, d)
+        val e = new Engine(idx, BM25())
+        val terms = Seq("spark", "join", "table")
+        val run = terms.map { t =>
+          e.search(t, 50, bm25Parser)
+            .select(lit(t).as("qid"), col("docId").as("doc_id"),
+              col("rank"), col("score"))
+        }.reduce(_ union _)
+        val qrels = terms.map { t =>
+          idx.postings(t, "default")
+            .select(lit(t).as("qid"), col("docId").as("doc_id"),
+              (col("tf") >= 2).cast("int").as("rel"))
+        }.reduce(_ union _)
+        graft.ops.TrecEval.evaluate(run, qrels)
+          .select(col("qid"), col("num_ret"), col("num_rel"),
+            col("num_rel_ret"),
+            round(col("map"), 6).as("map"),
+            round(col("r_prec"), 6).as("r_prec"),
+            round(col("bpref"), 6).as("bpref"),
+            round(col("recip_rank"), 6).as("recip_rank"),
+            round(col("p5"), 6).as("p5"),
+            round(col("p10"), 6).as("p10"),
+            round(col("p100"), 6).as("p100"),
+            round(col("ircl_prn_000"), 6).as("ircl_prn_000"),
+            round(col("ircl_prn_050"), 6).as("ircl_prn_050"),
+            round(col("ircl_prn_100"), 6).as("ircl_prn_100"))
+      },
+      Some(s"""${prelude()}
+, runq AS (
+  SELECT qid, doc_id, rank FROM (
+    SELECT p.term AS qid, p.doc_id,
+           row_number() OVER (PARTITION BY p.term
+             ORDER BY ${bm25("p.tf", "d.dl", "t.df")} DESC, p.doc_id DESC) AS rank
+    FROM post p JOIN dlen d USING (doc_id) JOIN tstat t USING (term)
+    CROSS JOIN stats s
+    WHERE p.term IN ('spark', 'join', 'table'))
+  WHERE rank <= 50),
+qrels AS (
+  SELECT term AS qid, doc_id, CASE WHEN tf >= 2 THEN 1 ELSE 0 END AS rel
+  FROM post WHERE term IN ('spark', 'join', 'table')),
+totals AS (
+  SELECT qid, sum(rel)::BIGINT AS nrel, sum(1 - rel)::BIGINT AS nnj
+  FROM qrels GROUP BY 1),
+jq AS (
+  SELECT r.qid, r.rank, coalesce(q.rel, 0) AS rel,
+         CASE WHEN q.rel IS NULL THEN 0 ELSE 1 END AS judged
+  FROM runq r LEFT JOIN qrels q ON r.qid = q.qid AND r.doc_id = q.doc_id),
+rk AS (
+  SELECT jq.*, t.nrel, t.nnj,
+         sum(rel) OVER w AS cum_rel,
+         sum(judged * (1 - rel)) OVER w AS cum_nj
+  FROM jq JOIN totals t USING (qid)
+  WINDOW w AS (PARTITION BY jq.qid ORDER BY rank)),
+met AS (
+  SELECT qid,
+    count(*)::BIGINT AS num_ret,
+    any_value(nrel) AS num_rel,
+    sum(rel)::BIGINT AS num_rel_ret,
+    CASE WHEN any_value(nrel) > 0 THEN
+      coalesce(sum(CASE WHEN rel = 1 THEN cum_rel::DOUBLE / rank END), 0)
+        / any_value(nrel) ELSE 0 END AS map,
+    CASE WHEN any_value(nrel) > 0 THEN
+      sum(CASE WHEN rank <= nrel THEN rel ELSE 0 END)::DOUBLE
+        / any_value(nrel) ELSE 0 END AS r_prec,
+    CASE WHEN any_value(nrel) > 0 THEN
+      coalesce(sum(CASE WHEN rel = 1 THEN
+        (CASE WHEN least(nrel, nnj) > 0 THEN
+           1.0 - least(cum_nj, least(nrel, nnj))::DOUBLE / least(nrel, nnj)
+         ELSE 1.0 END) END), 0) / any_value(nrel) ELSE 0 END AS bpref,
+    coalesce(max(CASE WHEN rel = 1 THEN 1.0 / rank END), 0) AS recip_rank,
+    sum(CASE WHEN rank <= 5 THEN rel ELSE 0 END) / 5.0 AS p5,
+    sum(CASE WHEN rank <= 10 THEN rel ELSE 0 END) / 10.0 AS p10,
+    sum(CASE WHEN rank <= 100 THEN rel ELSE 0 END) / 100.0 AS p100,
+    coalesce(max(CASE WHEN nrel > 0 THEN cum_rel::DOUBLE / rank END), 0)
+      AS iprn0,
+    coalesce(max(CASE WHEN nrel > 0 AND cum_rel::DOUBLE / nrel >= 0.5
+      THEN cum_rel::DOUBLE / rank END), 0) AS iprn50,
+    coalesce(max(CASE WHEN nrel > 0 AND cum_rel::DOUBLE / nrel >= 1.0
+      THEN cum_rel::DOUBLE / rank END), 0) AS iprn100
+  FROM rk GROUP BY 1)
+SELECT qid, num_ret, num_rel, num_rel_ret,
+       round(map, 6) AS map, round(r_prec, 6) AS r_prec,
+       round(bpref, 6) AS bpref, round(recip_rank, 6) AS recip_rank,
+       round(p5, 6) AS p5, round(p10, 6) AS p10, round(p100, 6) AS p100,
+       round(iprn0, 6) AS ircl_prn_000, round(iprn50, 6) AS ircl_prn_050,
+       round(iprn100, 6) AS ircl_prn_100
+FROM met""")),
+
     // Block-max WAND top-k over the persistent store — the pruning path
     // must be RANK-IDENTICAL to the exhaustive oracle (same BM25 SQL as
     // q_ir_store_bm25): the driver, not just WandSpec, witnesses that
