@@ -105,19 +105,35 @@ object Bench {
     path
   }
 
-  private def timedBuild(spark: SparkSession, cpus: Int, numDocs: Long): Double = {
+  /** One timed build, hard-capped at `capS` wall seconds: the host's
+    * noisy-neighbor troughs can stretch a 35 s build to minutes (observed
+    * 10x), and one runaway run must not eat the whole bench's wall budget
+    * — a watchdog cancels the Spark jobs and the sample counts as failed.
+    */
+  private def timedBuild(spark: SparkSession, cpus: Int, numDocs: Long,
+                         capS: Int = 150): Double = {
     val dir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(scratch("stores")), s"b$cpus-").toString
     val pages = spark.read.parquet(corpusParquet(spark, numDocs))
-    val t0 = System.nanoTime()
-    IndexStore.build(pages, dir, buildConf(cpus))
-    val thru = numDocs / ((System.nanoTime() - t0) / 1e9)
-    // tmpfs stores MUST be freed per run: best-of-N at full corpus size
-    // would otherwise fill /dev/shm and throttle later samples (measured
-    // as multi-minute reclaim-pressure troughs)
-    try new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
-    catch { case _: Throwable => }
-    thru
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val watchdog = new Thread(() => {
+      val end = System.nanoTime() + capS * 1000000000L
+      while (!done.get && System.nanoTime() < end) Thread.sleep(500)
+      if (!done.get) spark.sparkContext.cancelAllJobs()
+    })
+    watchdog.setDaemon(true)
+    watchdog.start()
+    try {
+      val t0 = System.nanoTime()
+      IndexStore.build(pages, dir, buildConf(cpus))
+      numDocs / ((System.nanoTime() - t0) / 1e9)
+    } finally {
+      done.set(true)
+      // tmpfs stores MUST be freed per run (also on a canceled one): a
+      // leaked full-size store causes reclaim-pressure troughs of its own
+      try new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+      catch { case _: Throwable => }
+    }
   }
 
   /** Time-boxed best-of-N build throughput with `executors` executor
@@ -134,14 +150,14 @@ object Bench {
     // A sample that dies (an executor declared lost in a contended host
     // window) must cost one cluster restart, not the whole benchmark: the
     // driver's round needs a JSON line even on a bad host day.
-    def sample(docs: Long): Double =
-      try timedBuild(spark, cpus, docs)
+    def sample(docs: Long, capS: Int = 150): Double =
+      try timedBuild(spark, cpus, docs, capS)
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] sample failed (${e.getClass.getSimpleName}: ${e.getMessage}); recreating cluster")
           try spark.stop() catch { case _: Throwable => }
           spark = session(executors)
-          try timedBuild(spark, cpus, math.max(4000L, docs / 10)) // re-warm
+          try timedBuild(spark, cpus, math.max(4000L, docs / 10), 90)
           catch { case _: Throwable => }
           0.0
       }
@@ -151,7 +167,7 @@ object Bench {
     // /proc thread stime; heaps are pre-touched at spawn for the same
     // reason). The first timed run still absorbs any residue; best-of
     // discards it.
-    sample(math.max(4000L, numDocs / 4))
+    sample(math.max(4000L, numDocs / 4), 90)
     val t0 = System.nanoTime()
     var best = 0.0
     var runs = 0
@@ -174,7 +190,8 @@ object Bench {
     * threads against the box's one memory system.
     */
   private def threadThroughput(threads: Int, numDocs: Long,
-                               samples: Int): Double = {
+                               samples: Int,
+                               warmupDocs: Long = 0L): Double = {
     val spark = SparkSession.builder()
       .master(s"local[$threads]").appName(s"graft-bench-t$threads")
       .config("spark.sql.shuffle.partitions", threads.toString)
@@ -185,10 +202,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def sample(docs: Long): Double =
-      try timedBuild(spark, threads, docs) catch { case _: Throwable => 0.0 }
-    sample(math.max(4000L, numDocs / 4)) // warm-up
-    val best = (1 to samples).map(_ => sample(numDocs)).max
+    def sample(docs: Long, capS: Int): Double =
+      try timedBuild(spark, threads, docs, capS)
+      catch { case _: Throwable => 0.0 }
+    // all three thread sessions share the sbt JVM, so JIT carries over —
+    // only the FIRST needs a real warm-up; later ones pass warmupDocs=4000
+    sample(math.max(4000L, warmupDocs), 90)
+    val best = (1 to samples).map(_ => sample(numDocs, 150)).max
     spark.stop()
     best
   }
@@ -298,7 +318,7 @@ object Bench {
     // spawns): local[8] vs local[32], counterbalanced lo/hi/lo — a single
     // lo sample can land in a host trough (observed: 6.0k docs/s in a
     // trough vs 13.9k steady) and turn the ratio into noise
-    val thrTLoA = threadThroughput(8, numDocs, 1)
+    val thrTLoA = threadThroughput(8, numDocs, 1, numDocs / 4)
     val thrTHi = threadThroughput(32, numDocs, if (remainS > 330) 2 else 1)
     val thrTLoB =
       if (remainS > 300) threadThroughput(8, numDocs, 1) else 0.0
