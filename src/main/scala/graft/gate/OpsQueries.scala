@@ -27,6 +27,25 @@ object OpsQueries {
   FROM documents
 )"""
 
+  /** Shared CTE chain for the n-gram Jaccard oracles (shingles, sizes,
+    * pair intersections) — appended after `tokPrelude`.
+    */
+  private val jaccardCtes =
+    """sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(toks) < 3 THEN array_to_string(toks, ' ')
+              ELSE array_to_string(toks[i:i+2], ' ') END AS shingle
+  FROM (
+    SELECT doc_id, toks,
+           unnest(CASE WHEN len(toks) < 3 THEN [1]
+                  ELSE range(1, len(toks) - 1) END) AS i
+    FROM base)),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)"""
+
   /** DuckDB list literal of the reference stoplist (quotes SQL-escaped —
     * the list contains "doesn't").
     */
@@ -35,6 +54,51 @@ object OpsQueries {
       .map(w => "'" + w.replace("'", "''") + "'").mkString("[", ",", "]")
 
   val all: Seq[GateQuery] = Seq(
+
+    // --- sampling / data mixing -----------------------------------------
+    // Deterministic stratified Bernoulli: keep iff the top-53-bit uniform
+    // of mix64(doc_id ^ seed) is below the stratum's rate. The oracle
+    // expands the same splitmix64 finalizer in HUGEINT SQL (mixStages),
+    // so both engines draw the SAME uniform per row — the sample is
+    // byte-reproducible, unlike partitioning-dependent DataFrame.sample.
+    GateQuery("q_op_sample_stratified",
+      (s, d) => Sampling.stratifiedSample(docs(s, d), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 1.0), defaultRate = 0.25, seed = 42L)
+        .select("doc_id", "lang"),
+      Some {
+        import DuckSql._
+        val src = s"SELECT doc_id, lang, ${x64("doc_id", "42")} AS hs FROM documents"
+        val mixed = mixStages(src, Seq("doc_id", "lang"), "hs", "m")
+        s"""SELECT doc_id, lang FROM ($mixed)
+WHERE CAST(${shr("m", 11)} AS DOUBLE) / 9007199254740992.0 <
+      CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'de' THEN 1.0 ELSE 0.25 END"""
+      }),
+
+    // Mixture weighting with repetition: weight w => floor(w) copies plus
+    // one more iff the row's uniform < frac(w) (expected multiplicity
+    // exactly w; w > 1 upsamples by repetition — epoch mixing — and the
+    // copy index lets downstream shuffles spread replicas).
+    GateQuery("q_op_sample_mixture",
+      (s, d) => Sampling.mixtureSample(docs(s, d), "doc_id", "source",
+        Map("src0" -> 2.5, "src1" -> 0.0, "src2" -> 0.3),
+        defaultWeight = 1.0, seed = 7L)
+        .select("doc_id", "source", "copy"),
+      Some {
+        import DuckSql._
+        val src = s"SELECT doc_id, source, ${x64("doc_id", "7")} AS hs FROM documents"
+        val mixed = mixStages(src, Seq("doc_id", "source"), "hs", "m")
+        s"""SELECT doc_id, source, CAST(unnest(range(copies)) AS INT) AS copy FROM (
+  SELECT doc_id, source,
+         CAST(floor(w) AS BIGINT) +
+           (CASE WHEN CAST(${shr("m", 11)} AS DOUBLE) / 9007199254740992.0
+                      < w - floor(w) THEN 1 ELSE 0 END) AS copies
+  FROM (SELECT doc_id, source, m,
+               CASE WHEN source = 'src0' THEN 2.5
+                    WHEN source = 'src1' THEN 0.0
+                    WHEN source = 'src2' THEN 0.3
+                    ELSE 1.0 END AS w
+        FROM ($mixed)))"""
+      }),
 
     // --- text analysis ---------------------------------------------------
     GateQuery("q_op_token_count",
@@ -125,24 +189,33 @@ FROM documents GROUP BY 1""")),
     GateQuery("q_op_ngram_jaccard",
       (s, d) => Dedup.ngramJaccard(docs(s, d), w = 3, threshold = 0.5),
       Some(s"""$tokPrelude,
-sh AS (
-  SELECT DISTINCT doc_id,
-         CASE WHEN len(toks) < 3 THEN array_to_string(toks, ' ')
-              ELSE array_to_string(toks[i:i+2], ' ') END AS shingle
-  FROM (
-    SELECT doc_id, toks,
-           unnest(CASE WHEN len(toks) < 3 THEN [1]
-                  ELSE range(1, len(toks) - 1) END) AS i
-    FROM base)),
-sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2)
+$jaccardCtes
 SELECT id_a, id_b,
        round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
 FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
 WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.5""")),
+
+    // Near-dup PAIRS collapsed into duplicate CLUSTERS: distributed
+    // connected components (min-label propagation) on the Spark side; the
+    // oracle is the ground-truth transitive closure as a recursive CTE
+    // over the same jaccard pair set. keep_id = component min.
+    GateQuery("q_op_dedup_clusters",
+      (s, d) => Dedup.duplicateClusters(
+        Dedup.ngramJaccard(docs(s, d), w = 3, threshold = 0.5)
+          .select("id_a", "id_b")),
+      Some(s"""${tokPrelude.replaceFirst("WITH", "WITH RECURSIVE")},
+$jaccardCtes,
+prs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+  WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.5),
+edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+          UNION ALL SELECT id_b AS src, id_a AS dst FROM prs),
+reach AS (
+  SELECT DISTINCT src AS id, src AS r FROM edges
+  UNION
+  SELECT e.src AS id, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+SELECT id AS doc_id, min(r) AS keep_id FROM reach GROUP BY 1""")),
 
     GateQuery("q_op_minhash_lsh",
       (s, d) => Dedup.minhashLsh(docs(s, d), w = 3, numHashes = 32,

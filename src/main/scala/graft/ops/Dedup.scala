@@ -93,6 +93,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jacraw"), 6).as("jaccard"))
   }
 
+  /** Collapse near-duplicate PAIRS into duplicate CLUSTERS — the step a
+    * real dedup pipeline needs after any pair generator (jaccard /
+    * minhash / simhash / embedding): connected components by iterative
+    * min-label propagation. Each round is one edge⋈label join plus one
+    * min-aggregation — fully shuffle-parallel, no driver-side graph, and
+    * rounds cut lineage via localCheckpoint so iteration N doesn't replan
+    * N joins. Rounds needed = component diameter; near-dup components are
+    * dense (pair generators emit quasi-cliques), so convergence is fast.
+    * The loop stops at the first round with zero label changes; `maxIter`
+    * bounds pathological chains (alternating large-star/small-star is the
+    * published O(log n)-round alternative if diameter ever dominates).
+    *
+    * Input columns (id_a, id_b); output one row per doc appearing in any
+    * pair: (doc_id, keep_id), keep_id = the component's minimum id — keep
+    * that doc, drop the rest of its cluster.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val e0 = pairs.select(col("id_a").cast("long").as("src"),
+      col("id_b").cast("long").as("dst"))
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("keep_id", col("id")).localCheckpoint()
+    var i = 0
+    var done = false
+    while (i < maxIter && !done) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("keep_id"))
+        .groupBy("id").agg(min("keep_id").as("nbr_min"))
+      val next = labels.withColumnRenamed("keep_id", "old")
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("old"),
+          least(col("old"), coalesce(col("nbr_min"), col("old"))).as("keep_id"))
+        .localCheckpoint() // eager: materializes AND cuts lineage
+      done = next.filter(col("keep_id") =!= col("old")).isEmpty
+      labels = next.select("id", "keep_id")
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("keep_id"))
+  }
+
   /** Deterministic 64-bit hash of a string (shared by MinHash/SimHash and
     * their tests; NOT Spark's xxhash64 — this one is pinned by our code so
     * signatures are stable across engines and releases).

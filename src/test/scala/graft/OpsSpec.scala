@@ -221,6 +221,19 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeBmp(1L, "BMnot an image at all, just text that is long enough".getBytes, 2).isEmpty)
   }
 
+  test("duplicateClusters: components via label propagation, multi-round chains") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter 4 — forces several propagation rounds),
+    // a triangle 10-11-12, an isolated pair 20-21
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("jaccard df-cap defuses boilerplate shingles (skew defense)") {
     // 40 docs share an identical boilerplate prefix; their bodies are
     // unrelated. Without the cap the boilerplate shingles pair all 40 docs
