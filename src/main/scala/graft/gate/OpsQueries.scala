@@ -100,6 +100,26 @@ WHERE CAST(${shr("m", 11)} AS DOUBLE) / 9007199254740992.0 <
         FROM ($mixed)))"""
       }),
 
+    // Context packing: per-shard concatenation in doc_id order, chunked
+    // at 512 tokens — each doc mapped to the (bin, offset) of its first
+    // token. Sequential only within a shard (window partitioned by
+    // source), so shards pack in parallel at any scale.
+    GateQuery("q_op_pack_contexts",
+      (s, d) => Packing.packContexts(docs(s, d), tokensPerBin = 512),
+      Some("""WITH t AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, source AS shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+           - n_tokens AS start
+  FROM t)
+SELECT doc_id, shard, n_tokens,
+       start // 512 AS bin, start % 512 AS offset
+FROM c""")),
+
     // --- text analysis ---------------------------------------------------
     GateQuery("q_op_token_count",
       (s, d) => TextAnalysis.tokenCount(docs(s, d)),
