@@ -120,6 +120,30 @@ SELECT doc_id, shard, n_tokens,
        start // 512 AS bin, start % 512 AS offset
 FROM c""")),
 
+    // Gopher-style repetition quality signals: duplicate-line fraction +
+    // most-frequent-2-gram fraction. Spark computes the 2-gram mode as a
+    // per-row sorted-array fold (no shuffle); the oracle via explode +
+    // group-by, two independent routes to the same mode count.
+    GateQuery("q_op_quality_rep",
+      (s, d) => TextAnalysis.repetitionSignals(docs(s, d)),
+      Some(s"""$tokPrelude,
+ln AS (SELECT doc_id, str_split(text, chr(10)) AS ls FROM base),
+g AS (
+  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+  FROM (SELECT doc_id, toks,
+               unnest(CASE WHEN len(toks) < 2 THEN []
+                      ELSE range(1, len(toks)) END) AS i
+        FROM base)),
+gm AS (
+  SELECT doc_id, max(c) AS mx, sum(c) AS ng
+  FROM (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+  GROUP BY 1)
+SELECT ln.doc_id,
+       round((len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls), 6)
+         AS dup_line_frac,
+       round(coalesce(mx::DOUBLE / ng, 0), 6) AS top_2gram_frac
+FROM ln LEFT JOIN gm USING (doc_id)""")),
+
     // --- text analysis ---------------------------------------------------
     GateQuery("q_op_token_count",
       (s, d) => TextAnalysis.tokenCount(docs(s, d)),

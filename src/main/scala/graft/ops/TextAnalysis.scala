@@ -63,6 +63,44 @@ object TextAnalysis {
             .cast("double") / length(col("text"))), 6).as("alnum_ratio"))
   }
 
+  /** Gopher-style repetition signals — the canonical web-pipeline
+    * quality filters that catch boilerplate and spam which perplexity
+    * misses:
+    *  - `dup_line_frac`: fraction of newline-delimited lines that are
+    *    repeats of an earlier line (0 when the doc has one line),
+    *  - `top_2gram_frac`: occurrences of the most frequent token 2-gram
+    *    over the total 2-gram count (0 when fewer than 2 tokens).
+    *
+    * Both are per-row expressions: the 2-gram mode is a sorted-array
+    * left fold (run-length max over sort_array), NOT an explode+groupBy
+    * — nothing shuffles, the signals ride the scan stage at any scale.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val toks = tokensCol(col("text"))
+    val grams = when(size(col("toks")) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(col("toks")) - 2),
+        i => concat_ws(" ", col("toks")(i), col("toks")(i + 1))))
+    // max run length in the sorted gram array == mode count
+    val best = aggregate(sort_array(col("grams")),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (s, g) => {
+        val run = when(g === s.getField("prev"), s.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(g.as("prev"), run.as("run"),
+          greatest(s.getField("best"), run).as("best"))
+      },
+      s => s.getField("best"))
+    docs.select(col("doc_id"), lines.as("lines"), toks.as("toks"))
+      .withColumn("grams", grams)
+      .select(col("doc_id"),
+        round((size(col("lines")) - size(array_distinct(col("lines"))))
+          .cast("double") / size(col("lines")), 6).as("dup_line_frac"),
+        round(when(size(col("grams")) === 0, 0.0)
+          .otherwise(best.cast("double") / size(col("grams"))), 6)
+          .as("top_2gram_frac"))
+  }
+
   /** Heuristic language ID: an n-gram-free stand-in scored from the
     * English stopword ratio (the only language signal the synthetic
     * corpus carries) — predicts "en" when ≥ 4% of tokens are English

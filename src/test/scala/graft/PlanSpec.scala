@@ -48,6 +48,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("sampling ops are pure scan-stage projections/filters (no shuffle)") {
+    val p1 = planOf(Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.5), 0.25, 42L))
+    assert(!p1.contains("Exchange"), p1)
+    val p2 = planOf(Sampling.mixtureSample(docs, "doc_id", "source",
+      Map("src0" -> 2.5), 1.0, 7L))
+    assert(!p2.contains("Exchange"), p2)
+  }
+
+  test("context packing shuffles exactly once (by shard), not globally") {
+    val p = planOf(Packing.packContexts(docs, 512))
+    // one hashpartitioning exchange for the per-shard window; a GLOBAL
+    // window (the scale bug this guards against) would show a
+    // SinglePartition exchange instead
+    assert(p.contains("hashpartitioning(shard"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("ranked top-k lowers to TakeOrdered (bounded heap), not a full sort") {
     val idx = gate.IndexCache.documentsIndex(spark, sf)
     val e = new graft.query.Engine(idx, graft.query.BM25())
