@@ -144,7 +144,8 @@ object Bench {
     * trough; repeating for a wall budget samples across boundaries.
     */
   private def buildThroughput(executors: Int, numDocs: Long,
-                              budgetS: Int): Double = {
+                              budgetS: Int,
+                              skipWarmup: Boolean = false): Double = {
     val cpus = executors * CoresPerExecutor
     var spark = session(executors)
     // A sample that dies (an executor declared lost in a contended host
@@ -167,7 +168,10 @@ object Bench {
     // /proc thread stime; heaps are pre-touched at spawn for the same
     // reason). The first timed run still absorbs any residue; best-of
     // discards it.
-    sample(math.max(4000L, numDocs / 4), 90)
+    // in degraded mode (global deadline already blown by host troughs)
+    // skip the warm-up entirely: one cold capped sample beats the driver
+    // killing the whole bench before the JSON line
+    if (!skipWarmup) sample(math.max(4000L, numDocs / 4), 90)
     val t0 = System.nanoTime()
     var best = 0.0
     var runs = 0
@@ -331,10 +335,15 @@ object Bench {
     val loBlock = math.max(20, budget / 4)
     val hiBlock = math.max(60, budget * 3 / 4)
     def block(b: Int): Int = math.max(1, math.min(b, remainS.toInt))
-    val loA = buildThroughput(exLo, numDocs, block(loBlock))
-    val hiA = buildThroughput(exHi, numDocs, block(hiBlock))
-    val loB = buildThroughput(exLo, numDocs, block(loBlock))
-    val hiB = buildThroughput(exHi, numDocs, block(hiBlock))
+    val loA = buildThroughput(exLo, numDocs, block(loBlock), remainS <= 0)
+    val hiA = buildThroughput(exHi, numDocs, block(hiBlock), remainS <= 0)
+    // the B blocks exist for counterbalancing; once the deadline is
+    // deeply blown their marginal value is negative (each still costs a
+    // spawn + one capped sample) — skip and let best-of use the A blocks
+    val loB = if (remainS > -60)
+      buildThroughput(exLo, numDocs, block(loBlock), remainS <= 0) else 0.0
+    val hiB = if (remainS > -60)
+      buildThroughput(exHi, numDocs, block(hiBlock), remainS <= 0) else 0.0
     val thruLo = math.max(loA, loB)
     val thruHi = math.max(hiA, hiB)
     val efficiency = (thruHi / thruLo) / (hi.toDouble / lo)

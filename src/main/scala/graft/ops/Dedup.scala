@@ -42,11 +42,6 @@ object Dedup {
             sequence(lit(0), size(col("toks")) - w),
             i => concat_ws(" ", slice(col("toks"), i + 1, lit(w)))))).as("shs"))
 
-  /** Distinct w-token shingles per doc (the base of Jaccard and MinHash). */
-  def shingles(docs: DataFrame, w: Int): DataFrame =
-    shingleArrays(docs, w)
-      .select(col("doc_id"), explode(col("shs")).as("shingle"))
-
   /** Near-duplicate pairs by exact n-gram Jaccard ≥ threshold.
     * Inverted join on shingle → per-pair intersection counts → sizes
     * joined in → Jaccard. `maxShingleDf` drops ubiquitous shingles before
@@ -122,16 +117,27 @@ object Dedup {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("keep_id"))
         .groupBy("id").agg(min("keep_id").as("nbr_min"))
+      // pointer jumping: also adopt the label of one's CURRENT label
+      // (label(label(x))), which doubles the distance covered per round —
+      // convergence in O(log diameter) rounds, so maxIter=25 covers any
+      // component a real corpus can produce (2^25-hop chains)
+      val jump = labels.select(col("id").as("jid"), col("keep_id").as("jkeep"))
       val next = labels.withColumnRenamed("keep_id", "old")
         .join(nbrMin, Seq("id"), "left")
+        .join(jump, col("old") === col("jid"), "left")
         .select(col("id"), col("old"),
-          least(col("old"), coalesce(col("nbr_min"), col("old"))).as("keep_id"))
+          least(col("old"), coalesce(col("nbr_min"), col("old")),
+            coalesce(col("jkeep"), col("old"))).as("keep_id"))
         .localCheckpoint() // eager: materializes AND cuts lineage
       done = next.filter(col("keep_id") =!= col("old")).isEmpty
       labels = next.select("id", "keep_id")
       i += 1
     }
     edges.unpersist()
+    if (!done) throw new IllegalStateException(
+      s"duplicateClusters did not converge in $maxIter rounds — with " +
+        "pointer jumping that needs a component of diameter > 2^" + maxIter +
+        "; partial labels would silently keep multiple docs per cluster")
     labels.select(col("id").as("doc_id"), col("keep_id"))
   }
 

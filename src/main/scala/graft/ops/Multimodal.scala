@@ -44,9 +44,10 @@ object Multimodal {
     * count — so arbitrary text/binary payloads cannot false-positive into
     * the real-decode path.
     *
-    * Features: mean pixel intensity of `featDim` horizontal bands, top to
-    * bottom (BMP rows are stored bottom-up for positive heights), in
-    * [0, 1] — a real, deterministic image statistic.
+    * Features: mean pixel intensity of ONE sampled row per horizontal
+    * band (`featDim` bands, top to bottom; BMP rows are stored bottom-up
+    * for positive heights), in [0, 1] — a real, deterministic image
+    * statistic at O(featDim · width) cost regardless of image height.
     */
   def decodeBmp(id: Long, bytes: Array[Byte], featDim: Int): Option[MediaMeta] = {
     def u16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
@@ -61,7 +62,15 @@ object Multimodal {
     val bpp = u16(28)
     val compression = i32(30)
     if (hdrSize != 40 || planes != 1 || compression != 0) return None
-    if (width <= 0 || height == 0 || (bpp != 24 && bpp != 32)) return None
+    // dimension sanity caps BEFORE any arithmetic: adversarial headers
+    // otherwise overflow 32-bit products (width*channels negative,
+    // math.abs(Int.MinValue) still negative) and slip past the byte-count
+    // check into out-of-bounds reads — a corrupt payload must fall back
+    // to the stub, never fail the job
+    val MaxDim = 1 << 20
+    if (width <= 0 || width > MaxDim || height == 0 ||
+        height == Int.MinValue || math.abs(height) > MaxDim ||
+        (bpp != 24 && bpp != 32)) return None
     val rows = math.abs(height)
     val channels = bpp / 8
     val rowBytes = ((width * channels + 3) / 4) * 4 // rows pad to 4 bytes
@@ -93,7 +102,10 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         val b = if (bytes == null) Array.empty[Byte] else bytes
-        decodeBmp(id, b, featDim).getOrElse(decodeStub(id, b, featDim))
+        // defense in depth: a malformed payload must degrade to the
+        // stub, never fail the partition
+        scala.util.Try(decodeBmp(id, b, featDim)).toOption.flatten
+          .getOrElse(decodeStub(id, b, featDim))
       })
   }
 

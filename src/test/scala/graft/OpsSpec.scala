@@ -219,6 +219,17 @@ class OpsSpec extends AnyFunSuite {
 
     // a text payload does NOT false-positive into the BMP path
     assert(Multimodal.decodeBmp(1L, "BMnot an image at all, just text that is long enough".getBytes, 2).isEmpty)
+
+    // adversarial headers whose 32-bit arithmetic would overflow past the
+    // bounds check must return None, not crash or emit garbage geometry
+    def hdr(width: Int, height: Int) =
+      Array('B'.toByte, 'M'.toByte) ++ le32(58) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(width) ++ le32(height) ++ le16(1) ++ le16(24) ++
+        le32(0) ++ le32(4) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        Array[Byte](0, 0, 0, 0)
+    assert(Multimodal.decodeBmp(1L, hdr(1, Int.MinValue), 2).isEmpty)
+    assert(Multimodal.decodeBmp(1L, hdr(715827883, 1), 2).isEmpty)
+    assert(Multimodal.decodeBmp(1L, hdr(1 << 21, 1), 2).isEmpty)
   }
 
   test("duplicateClusters: components via label propagation, multi-round chains") {
