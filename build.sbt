@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify emit a machine-readable JSON line the driver parses from
+// the sbt output: pass the forked process's stdout/stderr straight
+// through (no "[info] " prefix) and drop the trailing "[success] Total
+// time" line so the JSON is the LAST line of stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // local-cluster[...] masters fork real executor JVMs; the launcher needs
 // these to locate the Spark jars and pick the scala dir (offline sandbox)
 run / envVars ++= Map("SPARK_HOME" -> "/opt/spark", "SPARK_SCALA_VERSION" -> "2.13")

@@ -393,17 +393,43 @@ object Bench {
     }
 
     // --- gate queries on the sf tables ------------------------------------
-    // Pre-build the shared persistent documents store so q_ir_store_bm25
-    // times the QUERY (pruned point lookups); the one-time index build is
-    // an index metric, reported separately as store_build_sec.
-    val storeBuildSec = timedOrNeg(gate.StoreCache.documentsStore(spark, sfDir))
-    val streamBuildSec = timedOrNeg(gate.StreamStoreCache.documentsStore(spark, sfDir))
+    // store/stream build metrics are COLD: a fresh scratch dir per
+    // measurement (the persistent gate-cache dirs are manifest-idempotent
+    // across JVMs, so timing those recorded a no-op open — r3's
+    // stream_build_sec of 0.001 s was a manifest check, not a build)
+    def coldBuild(f: String => Unit): Double = {
+      val dir = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(scratch("stores")), "cold-").toString
+      val t = timedOrNeg(f(dir))
+      try new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+      catch { case _: Throwable => }
+      t
+    }
+    val storeBuildSec = coldBuild(d => gate.StoreCache.buildInto(spark, sfDir, d))
+    val streamBuildSec = coldBuild(d => gate.StreamStoreCache.buildInto(spark, sfDir, d))
+    // Pre-build the shared persistent documents stores (untimed warm) so
+    // q_ir_store_bm25 / q_ir_stream_bm25 time the QUERY (pruned point
+    // lookups), not the one-time build.
+    timedOrNeg(gate.StoreCache.documentsStore(spark, sfDir))
+    timedOrNeg(gate.StreamStoreCache.documentsStore(spark, sfDir))
+    // GRAFT_BENCH_ISOLATE=1: reset shared mutable state between gates
+    // (ops-layer persisted intermediates + the SQL cache) so one gate's
+    // storage pressure cannot distort a neighbor's wall time. The
+    // in-memory/store index caches stay — they are immutable fixtures,
+    // deliberately shared. Normal mode releases ops scratch too (that is
+    // part of each operator's contract), just without the cache clear.
+    val isolate = sys.env.get("GRAFT_BENCH_ISOLATE").contains("1")
     val gateTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      if (isolate) { try spark.catalog.clearCache() catch { case _: Throwable => } }
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
       catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.ops.OpScratch.release()
+      name -> (if (ok) dt else -1.0)
     }
+    val clusterRounds = graft.ops.Dedup.lastClusterRounds
+      .map(_.toString).mkString("[", ",", "]")
 
     val qs = gateTimes.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
@@ -415,7 +441,7 @@ object Bench {
       new Directory(new java.io.File(scratch("corpus"))).deleteRecursively()
     } catch { case _: Throwable => }
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","index_build":{"docs":$numDocs,"thru_lo_docs_per_sec":$thruLo%.1f,"thru_hi_docs_per_sec":$thruHi%.1f,"samples_lo":[$loA%.1f,$loB%.1f],"samples_hi":[$hiA%.1f,$hiB%.1f],"executors_lo":$exLo,"executors_hi":$exHi,"cpus_lo":$lo,"cpus_hi":$hi,"scaling_efficiency":$efficiency%.3f,"hw_cpu_scaling_factor":$hwCpuFactor%.3f,"hw_mem_bw_scaling_factor":$hwMemFactor%.3f,"hw_mem_bw_agg_gbps_lo":$memLo%.1f,"hw_mem_bw_agg_gbps_hi":$memHi%.1f,"scaling_efficiency_hw_normalized":$efficiencyNorm%.3f,"thread_scaling":{"thru_local8_docs_per_sec":$thrTLo%.1f,"thru_local32_docs_per_sec":$thrTHi%.1f,"efficiency":$effThreads%.3f}},"bm25_top10_p50_sec":{"exact":${p50(exactTimes)}%.3f,"wand":${p50(wandTimes)}%.3f},"trec30_top100_wall_sec":$trecWall%.3f,"store_build_sec":$storeBuildSec%.3f,"stream_build_sec":$streamBuildSec%.3f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","index_build":{"docs":$numDocs,"thru_lo_docs_per_sec":$thruLo%.1f,"thru_hi_docs_per_sec":$thruHi%.1f,"samples_lo":[$loA%.1f,$loB%.1f],"samples_hi":[$hiA%.1f,$hiB%.1f],"executors_lo":$exLo,"executors_hi":$exHi,"cpus_lo":$lo,"cpus_hi":$hi,"scaling_efficiency":$efficiency%.3f,"hw_cpu_scaling_factor":$hwCpuFactor%.3f,"hw_mem_bw_scaling_factor":$hwMemFactor%.3f,"hw_mem_bw_agg_gbps_lo":$memLo%.1f,"hw_mem_bw_agg_gbps_hi":$memHi%.1f,"scaling_efficiency_hw_normalized":$efficiencyNorm%.3f,"thread_scaling":{"thru_local8_docs_per_sec":$thrTLo%.1f,"thru_local32_docs_per_sec":$thrTHi%.1f,"efficiency":$effThreads%.3f}},"bm25_top10_p50_sec":{"exact":${p50(exactTimes)}%.3f,"wand":${p50(wandTimes)}%.3f},"trec30_top100_wall_sec":$trecWall%.3f,"store_build_cold_sec":$storeBuildSec%.3f,"stream_build_cold_sec":$streamBuildSec%.3f,"dedup_cluster_rounds":$clusterRounds,"gates_isolated":$isolate}"""
     // a bare file copy too: stdout goes through sbt's [info] prefix, which
     // round 1 showed the driver's JSON extraction can trip over; stderr is
     // printed as well in case the driver greps either stream

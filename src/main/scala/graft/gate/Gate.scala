@@ -56,22 +56,30 @@ object StoreCache {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[String, graft.index.ParquetIndex]
 
+  /** Full batch build of the documents store into `dir` (fresh dirs give a
+    * cold build; the persistent cache dir is manifest-idempotent).
+    */
+  def buildInto(spark: SparkSession, sfDir: String,
+                dir: String): graft.index.ParquetIndex = {
+    val pages = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        format_string("doc%08d", col("doc_id")).as("url"),
+        lit(null).cast("timestamp").as("warc_ts"),
+        lit(null).cast("binary").as("html"),
+        col("text"), lit("en").as("lang"))
+    graft.index.IndexStore.build(pages, dir, graft.index.BuildConf(
+      numSlices = 1, numBuckets = 8, termBuckets = 16,
+      shufflePartitions = 8))
+    graft.index.IndexStore.open(spark, dir, 16)
+  }
+
   def documentsStore(spark: SparkSession, sfDir: String): graft.index.ParquetIndex =
     cache.getOrElseUpdate(sfDir, {
       // version tag: a stale store from an older BLOB FORMAT must not be
       // reused across rounds (manifests would happily skip the rebuild)
       val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft-gate-store-v2-" + math.abs(sfDir.hashCode)).getAbsolutePath
-      val pages = spark.read.parquet(s"$sfDir/documents.parquet")
-        .select(
-          format_string("doc%08d", col("doc_id")).as("url"),
-          lit(null).cast("timestamp").as("warc_ts"),
-          lit(null).cast("binary").as("html"),
-          col("text"), lit("en").as("lang"))
-      graft.index.IndexStore.build(pages, dir, graft.index.BuildConf(
-        numSlices = 1, numBuckets = 8, termBuckets = 16,
-        shufflePartitions = 8))
-      graft.index.IndexStore.open(spark, dir, 16)
+      buildInto(spark, sfDir, dir)
     })
 }
 
@@ -90,29 +98,37 @@ object StreamStoreCache {
     scala.collection.concurrent.TrieMap.empty[String, graft.index.ParquetIndex]
   val NumBatches = 4
 
+  /** Full streaming ingest (NumBatches micro-batches + seal) into `dir`
+    * (fresh dirs give a cold build; manifests make re-runs no-ops).
+    */
+  def buildInto(spark: SparkSession, sfDir: String,
+                dir: String): graft.index.ParquetIndex = {
+    val conf = graft.index.BuildConf(numSlices = 1, numBuckets = 8,
+      termBuckets = 16, shufflePartitions = 8)
+    if (!graft.index.IndexStore.isCommitted(dir, "collstats")) {
+      val pages = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          format_string("doc%08d", col("doc_id")).as("url"),
+          lit(null).cast("timestamp").as("warc_ts"),
+          lit(null).cast("binary").as("html"),
+          col("text"), lit("en").as("lang"))
+      val maxId = pages.agg(max("doc_id")).collect()(0).getLong(0)
+      val span = maxId / NumBatches + 1
+      (0 until NumBatches).foreach { b =>
+        val batch = pages.filter(col("doc_id") >= b * span &&
+          col("doc_id") < (b + 1L) * span).drop("doc_id")
+        graft.streaming.StreamingIndexer.processBatch(batch, b, dir, conf)
+      }
+      graft.streaming.StreamingIndexer.seal(spark, dir, conf)
+    }
+    graft.index.IndexStore.open(spark, dir, 16)
+  }
+
   def documentsStore(spark: SparkSession, sfDir: String): graft.index.ParquetIndex =
     cache.getOrElseUpdate(sfDir, {
       val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft-gate-stream-v1-" + math.abs(sfDir.hashCode)).getAbsolutePath
-      val conf = graft.index.BuildConf(numSlices = 1, numBuckets = 8,
-        termBuckets = 16, shufflePartitions = 8)
-      if (!graft.index.IndexStore.isCommitted(dir, "collstats")) {
-        val pages = spark.read.parquet(s"$sfDir/documents.parquet")
-          .select(col("doc_id").cast("long").as("doc_id"),
-            format_string("doc%08d", col("doc_id")).as("url"),
-            lit(null).cast("timestamp").as("warc_ts"),
-            lit(null).cast("binary").as("html"),
-            col("text"), lit("en").as("lang"))
-        val maxId = pages.agg(max("doc_id")).collect()(0).getLong(0)
-        val span = maxId / NumBatches + 1
-        (0 until NumBatches).foreach { b =>
-          val batch = pages.filter(col("doc_id") >= b * span &&
-            col("doc_id") < (b + 1L) * span).drop("doc_id")
-          graft.streaming.StreamingIndexer.processBatch(batch, b, dir, conf)
-        }
-        graft.streaming.StreamingIndexer.seal(spark, dir, conf)
-      }
-      graft.index.IndexStore.open(spark, dir, 16)
+      buildInto(spark, sfDir, dir)
     })
 }
 

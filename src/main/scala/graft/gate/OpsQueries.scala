@@ -112,12 +112,16 @@ WHERE CAST(${shr("m", 11)} AS DOUBLE) / 9007199254740992.0 <
                          x -> x <> '')) AS n_tokens
   FROM documents),
 c AS (
+  -- CAST: DuckDB's windowed sum(BIGINT) yields HUGEINT, which the
+  -- comparison harness renders as float64; BIGINT keeps bin/offset
+  -- integral end-to-end (values are identical either way).
   SELECT doc_id, source AS shard, n_tokens,
-         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
-           - n_tokens AS start
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+           AS BIGINT) - n_tokens AS start
   FROM t)
 SELECT doc_id, shard, n_tokens,
-       start // 512 AS bin, start % 512 AS offset
+       CAST(start // 512 AS BIGINT) AS bin,
+       CAST(start % 512 AS BIGINT) AS offset
 FROM c""")),
 
     // Gopher-style repetition quality signals: duplicate-line fraction +
@@ -267,6 +271,11 @@ SELECT id AS doc_id, min(r) AS keep_id FROM reach GROUP BY 1""")),
       Some(DuckSql.minhashLshOracle(w = 3, numHashes = 32, bands = 8,
         threshold = 0.3))),
 
+    // Radius-8 with Manku-style block combinations: 12 blocks, key = any
+    // 4 of them (C(12,4)=495 tables, ≥2^20 bucket values per table) — the
+    // r3 pigeonhole banding at this radius had only ~2^7 buckets/band and
+    // degenerated toward all-pairs at scale. The oracle is the exact
+    // all-pairs Hamming ground truth, so green = recall-complete.
     GateQuery("q_op_simhash",
       (s, d) => Dedup.simhashPairs(docs(s, d), maxHamming = 8),
       Some(DuckSql.simhashOracle(maxHamming = 8))),

@@ -49,31 +49,48 @@ object Dedup {
     * would otherwise pair everything with everything).
     */
   def ngramJaccard(docs: DataFrame, w: Int = 3, threshold: Double = 0.8,
-                   maxShingleDf: Long = 10000L): DataFrame = {
+                   maxShingleDf: Long = 10000L,
+                   maxBroadcastShingles: Int = 4 << 20): DataFrame = {
     val spark = docs.sparkSession
-    val arrs = shingleArrays(docs, w)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val arrs = OpScratch.track(shingleArrays(docs, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // Frequent (boilerplate) shingles are the Zipf head: FEW distinct
     // shingles, each in many docs — bounded by (total shingle occurrences
     // / maxShingleDf), the same smallness a broadcast join needs. Collect
     // that set once so the cap applies to the per-doc ARRAYS map-side:
     // capped sizes then ride each row and the pair aggregation reuses one
     // shuffle, instead of a separate sizes agg + two sizes joins.
-    val frequent = arrs.select(explode(col("shs")).as("shingle"))
+    val freqDf = arrs.select(explode(col("shs")).as("shingle"))
       .groupBy("shingle").agg(count(lit(1)).as("sdf"))
       .filter(col("sdf") > maxShingleDf)
-      .select("shingle").collect().map(_.getString(0)).toSet
-    val bcFreq = spark.sparkContext.broadcast(frequent)
-    val dropFrequent = udf { (shs: Seq[String]) =>
-      shs.filterNot(bcFreq.value.contains)
-    }
+      .select("shingle")
+    // driver-OOM guard: a pathological corpus (many distinct shingles each
+    // just over the cap) breaks the Zipf-head smallness argument, so the
+    // collect is bounded — over the bound, fall back to a fully
+    // distributed anti-join + window recount (one extra shuffle, no
+    // driver state)
+    val freqRows = freqDf.limit(maxBroadcastShingles + 1).collect()
+    val tooMany = freqRows.length > maxBroadcastShingles
     // jaccard is over the CAPPED (informative) shingle sets on both sides
     // of the ratio — dropping boilerplate from the intersection but not
     // the union would silently deflate every score near a frequent shingle
-    val capped = arrs.select(col("doc_id"),
-        (if (frequent.isEmpty) col("shs") else dropFrequent(col("shs"))).as("shs"))
-      .select(col("doc_id"), size(col("shs")).as("sz"),
-        explode(col("shs")).as("shingle"))
+    val capped = if (tooMany) {
+      val exploded = arrs.select(col("doc_id"), explode(col("shs")).as("shingle"))
+        .join(freqDf, Seq("shingle"), "left_anti")
+      exploded.withColumn("sz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+        .select(col("doc_id"), col("sz"), col("shingle"))
+    } else {
+      val frequent = freqRows.map(_.getString(0)).toSet
+      val bcFreq = spark.sparkContext.broadcast(frequent)
+      val dropFrequent = udf { (shs: Seq[String]) =>
+        shs.filterNot(bcFreq.value.contains)
+      }
+      arrs.select(col("doc_id"),
+          (if (frequent.isEmpty) col("shs") else dropFrequent(col("shs"))).as("shs"))
+        .select(col("doc_id"), size(col("shs")).as("sz"),
+          explode(col("shs")).as("shingle"))
+    }
     capped.as("a").join(capped.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -104,15 +121,40 @@ object Dedup {
     * pair: (doc_id, keep_id), keep_id = the component's minimum id — keep
     * that doc, drop the rest of its cluster.
     */
+  /** Labels changed per round of the most recent [[duplicateClusters]]
+    * run in this JVM — the operator's cost at scale is rounds × shuffle,
+    * so the bench surfaces it (expected 2-3 rounds for the quasi-clique
+    * components near-dup pair generators emit).
+    */
+  private val _lastClusterRounds =
+    new java.util.concurrent.atomic.AtomicReference[Seq[Long]](Nil)
+  def lastClusterRounds: Seq[Long] = _lastClusterRounds.get
+
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
     val e0 = pairs.select(col("id_a").cast("long").as("src"),
       col("id_b").cast("long").as("dst"))
-    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("keep_id", col("id")).localCheckpoint()
+    val edges = OpScratch.track(
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // Per-round materialization with an explicit RDD handle: wrapping the
+    // persisted RDD in a fresh LogicalRDD keeps the Catalyst plan shallow
+    // (like localCheckpoint) while letting each round FREE its predecessor
+    // immediately — localCheckpoint pinned every round's RDD until GC,
+    // which was round 3's storage-pressure bug (the 40-gate bench JVM
+    // evicted unrelated operators' caches). Lineage is retained (no
+    // checkpoint truncation), so an evicted partition recomputes instead
+    // of failing.
+    def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+    var (labels, labelsRdd) = materialize(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("keep_id", col("id")))
     var i = 0
     var done = false
+    val changedLog = Seq.newBuilder[Long]
     while (i < maxIter && !done) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("keep_id"))
@@ -128,12 +170,17 @@ object Dedup {
         .select(col("id"), col("old"),
           least(col("old"), coalesce(col("nbr_min"), col("old")),
             coalesce(col("jkeep"), col("old"))).as("keep_id"))
-        .localCheckpoint() // eager: materializes AND cuts lineage
-      done = next.filter(col("keep_id") =!= col("old")).isEmpty
-      labels = next.select("id", "keep_id")
+      val (nextDf, nextRdd) = materialize(next)
+      val changed = nextDf.filter(col("keep_id") =!= col("old")).count()
+      changedLog += changed
+      done = changed == 0
+      labelsRdd.unpersist(blocking = false) // predecessor no longer needed
+      labels = nextDf.select("id", "keep_id")
+      labelsRdd = nextRdd
       i += 1
     }
-    edges.unpersist()
+    OpScratch.track(labelsRdd) // freed by the caller after consumption
+    _lastClusterRounds.set(changedLog.result())
     if (!done) throw new IllegalStateException(
       s"duplicateClusters did not converge in $maxIter rounds — with " +
         "pointer jumping that needs a component of diameter > 2^" + maxIter +
@@ -185,8 +232,8 @@ object Dedup {
   def minhashLsh(docs: DataFrame, w: Int = 3, numHashes: Int = 32,
                  bands: Int = 8, threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    val sigs = minhashSignatures(docs, w, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = OpScratch.track(minhashSignatures(docs, w, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val banded = sigs.select(col("doc_id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => slice(col("sig"), b * lit(rows) + 1, lit(rows)))))
@@ -231,28 +278,88 @@ object Dedup {
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
     *
-    * Candidate generation is recall-COMPLETE for the given radius: the 64
-    * signature bits are split into `maxHamming + 1` disjoint bands, so a
-    * pair within Hamming maxHamming has at least one band with zero
-    * differing bits (pigeonhole) and collides there. The banded join is
-    * linear in collisions — never an all-pairs join.
+    * Candidate generation is recall-COMPLETE for the given radius and
+    * stays sub-quadratic via Manku-style block combinations: the 64
+    * signature bits split into `blocks` near-equal blocks; a pair within
+    * Hamming maxHamming differs in at most maxHamming blocks, so it
+    * agrees EXACTLY on some combination of `blocks - maxHamming` blocks
+    * (pigeonhole over combinations). Each combination of
+    * `m = blocks - maxHamming` blocks is one hash table; a doc emits one
+    * key per table and candidates are same-table key collisions — linear
+    * in collisions, never an all-pairs join.
+    *
+    * `blocks` defaults so the per-table key space is ≥ 2^16 (the knob
+    * that keeps the join sub-quadratic at corpus scale): key bits =
+    * m · (64 / blocks). The classic small-radius config falls out
+    * naturally — maxHamming=3, blocks=4 → 4 tables keyed on one 16-bit
+    * block each. Large radii trade table count for key width (the
+    * published SimHash-dedup tradeoff): maxHamming=8, blocks=12 →
+    * C(12,4)=495 tables of ≥20-bit keys.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  private val MaxTables = 1024L
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   blocksOverride: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 63], got $maxHamming")
-    val nBands = maxHamming + 1
-    // distribute 64 bits over nBands bands (widths differ by at most 1)
-    val widths = Array.tabulate(nBands)(i =>
-      64 / nBands + (if (i < 64 % nBands) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _)
-    val bandCols = (0 until nBands).map { q =>
-      val mask = if (widths(q) == 64) -1L else (1L << widths(q)) - 1L
-      shiftrightunsigned(col("simhash"), offsets(q)).bitwiseAND(lit(mask))
+    // table count C(b, b - maxHamming), capped (no overflow; anything past
+    // the cap is "too many" regardless)
+    def tables(b: Int): Long = {
+      val mm = b - maxHamming
+      var n = 1L
+      var j = 1
+      while (j <= mm && n <= MaxTables) { n = n * (b - mm + j) / j; j += 1 }
+      n
     }
-    val sh = simhash(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // smallest block count whose key (blocks - maxHamming blocks wide)
+    // spans ≥ 16 bits within the table budget: m·⌊64/blocks⌋ ≥ 16. Very
+    // large radii can't reach 16 key bits under the budget — degrade to
+    // the widest key the budget allows (still recall-complete, just a
+    // coarser join; radii that big are recall-reference territory, not a
+    // production dedup config).
+    val blocks =
+      if (blocksOverride > 0) blocksOverride
+      else {
+        val feasible = ((maxHamming + 1) to 64).filter(tables(_) <= MaxTables)
+        feasible.find(b => (b - maxHamming).toLong * (64 / b) >= 16)
+          .getOrElse(feasible.maxBy(b => (b - maxHamming).toLong * (64 / b)))
+      }
+    require(blocks > maxHamming && blocks <= 64,
+      s"blocks must be in (maxHamming, 64], got $blocks")
+    val m = blocks - maxHamming
+    // distribute 64 bits over `blocks` blocks (widths differ by at most 1)
+    val widths = Array.tabulate(blocks)(i =>
+      64 / blocks + (if (i < 64 % blocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    // all C(blocks, m) combinations, driver-side (≤ a few hundred for any
+    // sane radius); each is one table whose key concatenates its blocks'
+    // bits
+    val combos: Array[Array[Int]] =
+      (0 until blocks).combinations(m).map(_.toArray).toArray
+    require(combos.length <= MaxTables,
+      s"${combos.length} tables (blocks=$blocks, radius=$maxHamming) — " +
+        "raise blocksOverride or lower the radius")
+    // one compiled pass per row (hundreds of column expressions would
+    // blow past the codegen method limit at large radii); key = the
+    // combo's blocks' bits concatenated — ≤ 64 key bits by construction
+    // (m · width ≤ 64) so a long holds it
+    val keysUdf = udf { (h: Long) =>
+      combos.map { combo =>
+        var key = 0L
+        var j = 0
+        while (j < combo.length) {
+          val q = combo(j)
+          val mask = if (widths(q) == 64) -1L else (1L << widths(q)) - 1L
+          key = (key << widths(q)) | ((h >>> offsets(q)) & mask)
+          j += 1
+        }
+        key
+      }
+    }
+    val sh = OpScratch.track(simhash(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val banded = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array(bandCols: _*)))
+      posexplode(keysUdf(col("simhash"))))
       .select(col("doc_id"), col("simhash"), col("pos").as("band"), col("col").as("bucket"))
     val ham = udf { (a: Long, b: Long) => java.lang.Long.bitCount(a ^ b) }
     banded.as("a").join(banded.as("b"),

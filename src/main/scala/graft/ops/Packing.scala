@@ -31,7 +31,7 @@ object Packing {
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.select(col("doc_id"), col(shardCol).as("shard"),
-        nTokens.as("n_tokens"))
+        nTokens.cast("long").as("n_tokens"))
       .withColumn("cum", sum("n_tokens").over(w))
       .withColumn("start", col("cum") - col("n_tokens"))
       .select(col("doc_id"), col("shard"), col("n_tokens"),

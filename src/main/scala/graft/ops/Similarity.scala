@@ -127,8 +127,8 @@ object Similarity {
     */
   def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
               nBits: Int = 12, nTables: Int = 4): DataFrame = {
-    val bucketed = lshBuckets(emb, nBits, nTables)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketed = OpScratch.track(lshBuckets(emb, nBits, nTables)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val queries = bucketed.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
         col("table").as("qtable"), col("bucket").as("qbucket"))

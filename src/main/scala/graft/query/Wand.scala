@@ -32,9 +32,14 @@ object Wand {
     * like the exact path's F1 pruning (StructuredRetriever.scala:29-33),
     * and duplicate terms stay in the bag — bm25TopK scores them with
     * multiplicity (the union-with-defaults #SUM adds each child's score,
-    * so k copies of a term contribute k·score). Returns the term bag when
-    * the parsed query qualifies; callers (QueryMain --wand) fall back to
-    * the exact engine for nested operators and field restrictions.
+    * so k copies of a term contribute k·score). Multiplicity is capped at
+    * 3: k·s is bit-identical to the exact path's k-fold addition only for
+    * k ≤ 3 (s+s is exactly 2s and (s+s)+s is the fold's own order); at
+    * k ≥ 4 the two shapes can differ by 1 ulp and flip a tie at the top-k
+    * boundary, so such bags take the exact path to keep the
+    * rank-identical contract unconditional. Returns the term bag when the
+    * parsed query qualifies; callers (QueryMain --wand) fall back to the
+    * exact engine for nested operators and field restrictions.
     */
   def eligibleBag(node: QNode): Option[Seq[String]] = node match {
     case QInner(QOp.SUM | QOp.AND, _, kids, _) =>
@@ -43,7 +48,9 @@ object Wand {
       else if (leaves.exists(_.field != "default")) None // field restriction
       else {
         val terms = leaves.filterNot(_.isStop).map(_.term)
-        if (terms.nonEmpty) Some(terms) else None // all-stop → exact (empty)
+        if (terms.isEmpty) None // all-stop → exact (empty)
+        else if (terms.groupBy(identity).exists(_._2.size > 3)) None
+        else Some(terms)
       }
     case QLeaf(t, "default", false) => Some(List(t))
     case _ => None
@@ -226,8 +233,9 @@ object Wand {
     val avgdl = coll.avgDocLen
     // duplicate terms score with multiplicity k as k·(idf·partial) — the
     // same floating-point shape as the exact path's k-fold score addition
-    // (s+s is exactly 2s, so k ≤ 3 is bit-identical; beyond that the exact
-    // path's own summation order is already ulp-ambiguous)
+    // for k ≤ 3 (s+s is exactly 2s), which eligibleBag enforces; a direct
+    // caller passing k ≥ 4 gets scores tie-order-equivalent to the exact
+    // path (equal after 6dp rounding) rather than bit-identical
     val mult = terms.groupBy(identity).map { case (t, g) => t -> g.size }
     val idfs = terms.distinct.flatMap { t =>
       val (df, _) = index.termStat(t, field)

@@ -76,8 +76,17 @@ object EventStreams {
               }
             }
             open.foreach { s =>
+              val timeoutMs = (s.last + gapSec + 1) * 1000
+              // A late-but-accepted event (watermark delay > gap) can put
+              // last+gap at or behind the current watermark; GroupState
+              // rejects a timeout ≤ watermark with an exception that would
+              // kill the query. Clamp forward one ms — the session then
+              // closes at the next micro-batch's timeout sweep, which is
+              // exactly when the unclamped timeout would already have
+              // fired.
+              val wm = state.getCurrentWatermarkMs()
               state.update(s)
-              state.setTimeoutTimestamp((s.last + gapSec + 1) * 1000)
+              state.setTimeoutTimestamp(math.max(timeoutMs, wm + 1))
             }
             closed.result().iterator
           }
