@@ -108,4 +108,62 @@ object TrecEval {
       // interpolated precision at unreached recall levels is 0
       .na.fill(0.0, RecallLevels.map(lv => f"ircl_prn_${(lv * 100).round}%03d"))
   }
+
+  private def iprnCols: Seq[String] =
+    RecallLevels.map(lv => f"ircl_prn_${(lv * 100).round}%03d")
+  private def meanCols: Seq[String] =
+    Seq("map", "r_prec", "bpref", "recip_rank") ++ iprnCols ++
+      PrecisionCuts.map(k => s"p$k")
+
+  /** The `all` summary row of a trec_eval report over [[evaluate]]'s
+    * per-query output: counts sum, rate metrics average arithmetically
+    * over queries, and `gm_ap` is the geometric mean of per-query AP with
+    * trec_eval's MIN_GEO_MEAN floor of 1e-5 (m_gm_map.c) so zero-AP
+    * queries contribute a floor term instead of -inf.
+    */
+  def summarize(perQuery: DataFrame): DataFrame = {
+    val aggs: Seq[Column] = Seq(
+      count(lit(1)).as("num_q"),
+      sum("num_ret").as("num_ret"),
+      sum("num_rel").as("num_rel"),
+      sum("num_rel_ret").as("num_rel_ret")) ++
+      Seq(avg("map").as("map"),
+        exp(avg(log(greatest(col("map"), lit(1e-5))))).as("gm_ap")) ++
+      meanCols.drop(1).map(c => avg(c).as(c))
+    perQuery.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Render per-query metrics plus the `all` block in the committed
+    * `.res.txt` layout of the reference's result files
+    * (data/exp1/results/boolean_ranked_and.res.txt): one
+    * `metric qid<TAB>value` line per metric, doubles at 4dp, queries in
+    * numeric qid order, `num_q`/`gm_ap` only in the trailing `all` block.
+    * Driver-side by design — this is the human-readable REPORT sink (a
+    * run's worth of metric lines), not a data path; the distributed
+    * artifacts are [[evaluate]]/[[summarize]] DataFrames.
+    */
+  def formatRes(perQuery: DataFrame): String = {
+    val names = Map("r_prec" -> "R-prec") ++
+      iprnCols.map(c => c ->
+        s"ircl_prn.${c.drop("ircl_prn_".length).toInt / 100}.${c.takeRight(2)}") ++
+      PrecisionCuts.map(k => s"p$k" -> s"P$k")
+    def fmt(r: org.apache.spark.sql.Row, c: String, qid: String): String = {
+      val v = r.get(r.fieldIndex(c)) match {
+        case d: Double => f"$d%.4f"
+        case x => x.toString
+      }
+      s"${names.getOrElse(c, c)} $qid\t$v"
+    }
+    val perQCols = Seq("num_ret", "num_rel", "num_rel_ret") ++ meanCols
+    val rows = perQuery.collect().sortBy { r =>
+      val q = r.getAs[String]("qid")
+      (q.toLongOption.getOrElse(Long.MaxValue), q)
+    }
+    val perQ = rows.flatMap(r =>
+      perQCols.map(c => fmt(r, c, r.getAs[String]("qid"))))
+    val allRow = summarize(perQuery).collect()(0)
+    val allCols = Seq("num_q", "num_ret", "num_rel", "num_rel_ret", "map",
+      "gm_ap") ++ meanCols.drop(1)
+    (perQ ++ allCols.map(c => fmt(allRow, c, "all"))).mkString("", "\n", "\n")
+  }
 }

@@ -222,13 +222,17 @@ object BuildProf {
           // size GC/netty pools for the executor's cores, not the box's
           .config("spark.executor.extraJavaOptions", "-XX:ActiveProcessorCount=4 -Xms5g -XX:+AlwaysPreTouch")
       else builder0
-      val spark = builder
+      val builder1 = builder
         .config("spark.sql.shuffle.partitions", cpus.toString)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.local.dir", s"$base/shuffle-$cpus")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
+      // ad-hoc conf experiments: GRAFT_SPARK_CONF="k=v;k=v"
+      val spark = sys.env.get("GRAFT_SPARK_CONF").getOrElse("").split(';')
+        .filter(_.contains('=')).foldLeft(builder1) { (b, kv) =>
+          val Array(k, v) = kv.split("=", 2); b.config(k, v)
+        }.getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       // per-stage utilization: task-time vs wall tells barrier/straggler
       // problems apart from GC and shuffle-wait problems
