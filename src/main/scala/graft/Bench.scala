@@ -427,12 +427,13 @@ object Bench {
     // lookups), not the one-time build.
     timedOrNeg(gate.StoreCache.documentsStore(spark, sfDir))
     timedOrNeg(gate.StreamStoreCache.documentsStore(spark, sfDir))
-    // GRAFT_BENCH_ISOLATE=1: reset shared mutable state between gates
-    // (ops-layer persisted intermediates + the SQL cache) so one gate's
-    // storage pressure cannot distort a neighbor's wall time. The
-    // in-memory/store index caches stay — they are immutable fixtures,
-    // deliberately shared. Normal mode releases ops scratch too (that is
-    // part of each operator's contract), just without the cache clear.
+    // GRAFT_BENCH_ISOLATE=1: COLD gate isolation — before each gate,
+    // release ops scratch AND clear the whole SQL cache (which also
+    // evicts the shared index fixtures' cached DataFrames, so IR gates
+    // recompute their fixture lineage inside the measured wall). Use it
+    // to ask "what does this gate cost with nothing warm?"; the normal
+    // mode (ops scratch released after each gate, fixtures stay warm) is
+    // the comparable per-round number.
     val isolate = sys.env.get("GRAFT_BENCH_ISOLATE").contains("1")
     val gateTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (isolate) { try spark.catalog.clearCache() catch { case _: Throwable => } }

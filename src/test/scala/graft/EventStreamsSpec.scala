@@ -70,6 +70,37 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming first-seen dedup == batch exact dedup keeps (cross-batch suppression)") {
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    import graft.streaming.StreamingDedup.Doc
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(Doc(1, "aaa"), Doc(2, "bbb"), Doc(3, "aaa"),
+      Doc(4, "ccc"), Doc(5, "bbb"))
+    val b2 = Seq(Doc(6, "aaa"), Doc(7, "ddd"), Doc(8, "ccc"))
+    val source = MemoryStream[Doc]
+    val q = StreamingDedup.firstSeen(source.toDS())
+      .writeStream.format("memory").queryName("dedupout")
+      .outputMode("append").start()
+    try {
+      source.addData(b1)
+      q.processAllAvailable()
+      val afterB1 = spark.table("dedupout").count()
+      assert(afterB1 == 3, s"batch1 distinct contents: $afterB1") // aaa bbb ccc
+      source.addData(b2)
+      q.processAllAvailable()
+      val got = spark.table("dedupout").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      // arrival order follows doc_id, so the streaming keeps must equal
+      // the batch operator's min-doc_id keeps on the full corpus
+      val batch = graft.ops.Dedup.exact((b1 ++ b2).toDF("doc_id", "text"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == batch, s"streaming $got vs batch $batch")
+      // and the hex hashing matches Spark's md5() bit-for-bit
+      assert(got.map(_._1) == batch.map(_._1))
+    } finally q.stop()
+  }
+
   test("streaming windowed agg == batch tumbling windows once sealed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
