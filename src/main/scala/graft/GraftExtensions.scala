@@ -38,5 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "splitmix64(x) - splitmix64 finalizer (wraparound 64-bit mixer)"),
       (exprs: Seq[Expression]) =>
         graft.functions.Splitmix64Expr(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("cosine_f"),
+      info("cosine_f",
+        "cosine_f(a, b) - cosine similarity of two float vectors (double)"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.CosineFExpr(exprs(0), exprs(1))))
   }
 }

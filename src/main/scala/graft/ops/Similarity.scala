@@ -19,31 +19,20 @@ import graft.corpus.SyntheticCorpus.mix
   */
 object Similarity {
 
-  /** Cosine similarity between two float-array columns, in double.
-    * A primitive-array UDF, deliberately: Spark's higher-order functions
-    * (aggregate/zip_with) evaluate their lambdas interpreted per element,
-    * which measured ~10× slower than this compiled loop on 64-dim pairs.
-    * Accumulation is sequential in index order (doubles), matching the
-    * DuckDB oracle's unnest-ordinality sum bit-for-bit at 6dp rounding.
+  /** Cosine similarity between two float-array columns, in double —
+    * the native `cosine_f` Catalyst expression
+    * (graft.functions.CosineFExpr): reads the unsafe array buffers
+    * directly and stays inside whole-stage codegen, beating the UDF it
+    * replaced (Row→Array[Float] conversion + codegen break per call) and
+    * the ~10×-slower interpreted higher-order functions. Accumulation is
+    * sequential in index order (doubles), matching the DuckDB oracle's
+    * unnest-ordinality sum bit-for-bit at 6dp rounding.
     */
-  private val cosineUdf = udf { (a: Array[Float], b: Array[Float]) =>
-    var dot = 0.0
-    var na = 0.0
-    var nb = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) {
-      val x = a(i).toDouble
-      val y = b(i).toDouble
-      dot += x * y
-      na += x * x
-      nb += y * y
-      i += 1
-    }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+  def cosineCol(a: Column, b: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.VectorExpressions.register)
+    call_function("cosine_f", a, b)
   }
-
-  def cosineCol(a: Column, b: Column): Column = cosineUdf(a, b)
 
   /** Brute-force cosine top-k: for each query vector (vec_id in queryIds),
     * the k nearest other vectors. Ties break by neighbor id ascending.

@@ -25,6 +25,11 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT uw_matches(array(array(1, 9), array(2, 10)), 4) AS m")
         .collect()(0).getInt(0)
       assert(uw == 2)
+      val cos = s2.sql(
+        "SELECT cosine_f(array(cast(1.0 as float), cast(0.0 as float)), " +
+          "array(cast(1.0 as float), cast(1.0 as float))) AS c")
+        .collect()(0).getDouble(0)
+      assert(math.abs(cos - 1.0 / math.sqrt(2.0)) < 1e-12)
     } finally {
       // the default session must stay the shared TestSpark one
       org.apache.spark.sql.SparkSession.setDefaultSession(spark)
