@@ -64,6 +64,8 @@ case class CosineFExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  override def prettyName: String = "cosine_f"
+
   override def nullSafeEval(a: Any, b: Any): Any =
     VectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 

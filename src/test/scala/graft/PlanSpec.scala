@@ -40,6 +40,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("brute ANN scores through the native cosine expression, no UDF") {
+    // cosine_f is a Catalyst expression: the candidate-scoring projection
+    // must stay inside whole-stage codegen; a ScalaUDF in the plan would
+    // break the span at every candidate pair (the pre-r4 shape)
+    val p = planOf(Similarity.bruteTopK(emb, Seq(0L, 1L), 5))
+    assert(p.contains("cosine_f"), p)
+    assert(!p.toLowerCase.contains("scalaudf") && !p.contains("UDF("), p)
+  }
+
   test("minhash signature generation is shuffle-free") {
     // sig = UDF over the per-row distinct-shingle array: a projection,
     // never an explode→groupBy round trip (that shuffle was every shingle
