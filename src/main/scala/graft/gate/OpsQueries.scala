@@ -265,6 +265,44 @@ reach AS (
   SELECT e.src AS id, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
 SELECT id AS doc_id, min(r) AS keep_id FROM reach GROUP BY 1""")),
 
+    // Corpus-level top-k n-grams (boilerplate/contamination census):
+    // explode → map-side-combined groupBy → TakeOrdered on the TOTAL
+    // order (count desc, gram asc) so the k boundary is deterministic.
+    GateQuery("q_op_ngram_topk",
+      (s, d) => TextAnalysis.ngramTopK(docs(s, d), n = 2, k = 50),
+      Some(s"""$tokPrelude,
+g AS (
+  SELECT array_to_string(toks[i:i+1], ' ') AS gram
+  FROM (SELECT toks, unnest(CASE WHEN len(toks) < 2 THEN []
+                       ELSE range(1, len(toks)) END) AS i FROM base))
+SELECT gram, count(*) AS n_occurrences
+FROM g GROUP BY 1
+ORDER BY n_occurrences DESC, gram ASC
+LIMIT 50""")),
+
+    // Benchmark decontamination: corpus docs sharing any 3-gram with a
+    // benchmark doc (here: doc_id < 25 as the stand-in eval set), with
+    // overlap counts; benchmark gram set broadcasts at scale.
+    GateQuery("q_op_decontaminate",
+      (s, d) => Dedup.decontaminate(docs(s, d),
+        docs(s, d).filter(col("doc_id") < 25), w = 3),
+      Some(s"""$tokPrelude,
+cs AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(toks) < 3 THEN array_to_string(toks, ' ')
+              ELSE array_to_string(toks[i:i+2], ' ') END AS shingle
+  FROM (SELECT doc_id, toks,
+               unnest(CASE WHEN len(toks) < 3 THEN [1]
+                      ELSE range(1, len(toks) - 1) END) AS i
+        FROM base)),
+bs AS (SELECT doc_id AS bench_id, shingle FROM cs WHERE doc_id < 25)
+SELECT c.doc_id,
+       count(DISTINCT c.shingle) AS n_shared_grams,
+       count(DISTINCT b.bench_id) AS n_bench_docs
+FROM cs c JOIN bs b USING (shingle)
+WHERE c.doc_id <> b.bench_id
+GROUP BY 1""")),
+
     GateQuery("q_op_minhash_lsh",
       (s, d) => Dedup.minhashLsh(docs(s, d), w = 3, numHashes = 32,
         bands = 8, threshold = 0.3),

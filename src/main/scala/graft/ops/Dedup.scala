@@ -188,6 +188,34 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("keep_id"))
   }
 
+  /** Benchmark decontamination — the overlap check a pretraining pipeline
+    * runs against held-out evaluation sets (the GPT-3-style n-gram
+    * collision test): for every corpus doc sharing at least one w-token
+    * gram with any benchmark doc, report how many distinct grams overlap
+    * and how many benchmark docs are hit. Plan shape at scale: the
+    * benchmark side is small by definition, so its exploded gram set
+    * broadcasts and the corpus side streams through a broadcast hash
+    * join at scan speed — no corpus-side shuffle except the final
+    * per-doc aggregation of the (rare) hits.
+    *
+    * Grams follow [[shingleArrays]] exactly (distinct per doc; a doc
+    * shorter than w contributes its whole text as one gram). Self-pairs
+    * are excluded so benchmark docs present in the corpus don't flag
+    * themselves.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    w: Int = 5): DataFrame = {
+    val cs = shingleArrays(corpus, w)
+      .select(col("doc_id"), explode(col("shs")).as("shingle"))
+    val bs = shingleArrays(benchmark, w)
+      .select(col("doc_id").as("bench_id"), explode(col("shs")).as("shingle"))
+    cs.join(broadcast(bs), Seq("shingle"))
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy("doc_id")
+      .agg(countDistinct("shingle").as("n_shared_grams"),
+        countDistinct("bench_id").as("n_bench_docs"))
+  }
+
   /** Deterministic 64-bit hash of a string (shared by MinHash/SimHash and
     * their tests; NOT Spark's xxhash64 — this one is pinned by our code so
     * signatures are stable across engines and releases).

@@ -203,4 +203,28 @@ object TextAnalysis {
             i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(w)))))))
           .as("fingerprint"))
   }
+
+  /** Corpus-level top-k n-grams by occurrence count — the contamination /
+    * boilerplate census a pretraining pipeline runs before filtering
+    * (what IS the most repeated 2-gram across the crawl?). Plan shape at
+    * scale: per-row gram arrays (scan-stage transform) → explode →
+    * groupBy with map-side partial aggregation (the gram space is Zipf,
+    * so partials collapse the head before the shuffle) → global
+    * TakeOrdered on the total order (count desc, gram asc) — a bounded
+    * heap, never a full sort. Deterministic at the k boundary because
+    * the order is total.
+    */
+  def ngramTopK(docs: DataFrame, n: Int = 2, k: Int = 50): DataFrame = {
+    require(n >= 1 && k >= 1, s"need n >= 1, k >= 1; got n=$n k=$k")
+    val toks = tokensCol(col("text"))
+    // Spark 4 trap: sequence(0, x) FLIPS direction for x < 0, so the
+    // short-doc case must short-circuit to an empty array
+    val grams = when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    docs.select(explode(grams).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("gram").asc)
+      .limit(k)
+  }
 }

@@ -264,4 +264,33 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b) => a == 100L && b == 101L },
       s"boilerplate-only pairs leaked: $pairs")
   }
+
+  test("ngramTopK: counts, total-order tie-break, short docs contribute nothing") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b c"),   // grams: a b, b a, a b, b c
+      (2L, "a b"),         // gram: a b
+      (3L, "z")            // too short for 2-grams
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramTopK(df, n = 2, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // "a b"×3, then count-1 grams in lexical order: "b a" before "b c"
+    assert(got == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)), got.toString)
+  }
+
+  test("decontaminate flags gram overlap with the benchmark, excluding self") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps"),   // shares "the quick brown",
+                                            // "quick brown fox" with bench 0
+      (11L, "totally unrelated words here"),
+      (0L, "the quick brown fox")           // IS bench doc 0 → must not self-flag
+    ).toDF("doc_id", "text")
+    val bench = Seq((0L, "the quick brown fox")).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(corpus, bench, w = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 10 shares 2 distinct 3-grams with 1 bench doc; doc 11 none;
+    // doc 0 is the bench doc itself (self-pair excluded)
+    assert(got == Set((10L, 2L, 1L)), got.toString)
+  }
 }
