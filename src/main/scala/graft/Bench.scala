@@ -219,7 +219,10 @@ object Bench {
     // all three thread sessions share the sbt JVM, so JIT carries over —
     // only the FIRST needs a real warm-up; later ones pass warmupDocs=4000
     sample(math.max(4000L, warmupDocs), 90)
-    val best = (1 to samples).map(_ => sample(numDocs, 150)).max
+    // cap 240 s, not the executor sections' 150: a local[8] full build is
+    // ~40 s clean but 3-4× in a trough — at 150 s a deep trough cancels
+    // EVERY sample and records a 0.0 thread metric (observed once)
+    val best = (1 to samples).map(_ => sample(numDocs, 240)).max
     spark.stop()
     best
   }

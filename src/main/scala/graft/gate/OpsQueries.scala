@@ -410,6 +410,20 @@ SELECT user_id, session_idx::BIGINT AS session_idx,
        floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT AS duration_sec
 FROM se GROUP BY 1, 2""")),
 
+    // Per-user AS-OF join (click → most recent prior purchase): the
+    // Spark side is the union + running-last window composition (one
+    // shuffle, linear); the oracle is DuckDB's NATIVE ASOF JOIN, so the
+    // gate certifies the composition against a real as-of engine.
+    GateQuery("q_op_events_asof",
+      (s, d) => EventOps.asofJoin(
+        s.read.parquet(s"$d/events.parquet"), "click", "purchase"),
+      Some("""SELECT l.event_id, l.user_id, r.event_id AS matched_event_id,
+       round(r.value, 6) AS matched_value,
+       floor(epoch(l.ts))::BIGINT - floor(epoch(r.ts))::BIGINT AS lag_sec
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts""")),
+
     // --- multimodal binary plumbing ---------------------------------------
     GateQuery("q_op_mm_meta",
       (s, d) => {

@@ -278,6 +278,24 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)), got.toString)
   }
 
+  test("asofJoin: most recent prior match per user, equal-ts inclusive, no-match dropped") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    val ev = Seq(
+      // user 1: purchase@10, click@20 (→ p1), purchase@30, click@30 (equal ts → p2), click@5 (no prior → dropped)
+      (1L, t(10), 1L, "purchase", 5.0), (2L, t(20), 1L, "click", 0.0),
+      (3L, t(30), 1L, "purchase", 7.0), (4L, t(30), 1L, "click", 0.0),
+      (5L, t(5), 1L, "click", 0.0),
+      // user 2: click@50 with no purchases at all → dropped
+      (6L, t(50), 2L, "click", 0.0),
+      // unrelated type must not interfere
+      (7L, t(15), 1L, "view", 9.9)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventOps.asofJoin(ev, "click", "purchase").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getLong(4))).toSet
+    assert(got == Set((2L, 1L, 5.0, 10L), (4L, 3L, 7.0, 0L)), got.toString)
+  }
+
   test("decontaminate flags gram overlap with the benchmark, excluding self") {
     import spark.implicits._
     val corpus = Seq(
