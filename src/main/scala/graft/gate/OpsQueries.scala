@@ -325,6 +325,44 @@ GROUP BY 1""")),
         useLsh = true, nBits = 8),
       Some(DuckSql.embedDupsLshOracle(threshold = 0.35, nBits = 8))),
 
+    // Int8 embedding quantization: the gate projects per-vector scalar
+    // checksums instead of the raw int8 array (the driver's
+    // column-sorted value hash is defined over scalars): min/max pin the
+    // range, the L1 pins magnitudes, and the 1-based index-weighted sum
+    // pins element ORDER — any single-element divergence shifts it.
+    GateQuery("q_op_embed_quantize",
+      (s, d) => {
+        val q = Similarity.quantizeInt8(emb(s, d))
+        q.select(col("vec_id"), col("scale"),
+          array_min(col("q")).as("q_min"),
+          array_max(col("q")).as("q_max"),
+          aggregate(transform(col("q"), x => abs(x).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("q_l1"),
+          aggregate(zip_with(col("q"),
+              sequence(lit(1L), size(col("q")).cast("long")),
+              (x, i) => x.cast("long") * i),
+            lit(0L), (acc, x) => acc + x).as("q_ichk"))
+      },
+      Some("""WITH s AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
+           AS scaleraw, embedding
+  FROM embeddings),
+qv AS (
+  SELECT vec_id, round(scaleraw, 9) AS scale,
+         list_transform(embedding, x ->
+           CASE WHEN scaleraw = 0 THEN 0
+                ELSE CAST(floor(x::DOUBLE / scaleraw + 0.5) AS INT) END) AS q
+  FROM s),
+e AS (
+  SELECT vec_id, scale, unnest(q) AS v, generate_subscripts(q, 1) AS i
+  FROM qv)
+SELECT vec_id, any_value(scale) AS scale,
+       min(v) AS q_min, max(v) AS q_max,
+       sum(abs(v))::BIGINT AS q_l1,
+       sum(i::BIGINT * v)::BIGINT AS q_ichk
+FROM e GROUP BY vec_id""")),
+
     // --- similarity search ------------------------------------------------
     GateQuery("q_op_ann_brute",
       (s, d) => Similarity.bruteTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10),

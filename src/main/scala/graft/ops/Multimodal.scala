@@ -91,9 +91,81 @@ object Multimodal {
     Some(MediaMeta(id, bytes.length, width, rows, channels, feats))
   }
 
+  /** Real decode of a second modality: RIFF/WAVE PCM audio (8- or 16-bit
+    * integer PCM, the `fmt ` + `data` chunk layout). Returns None for
+    * anything else — validation is strict (magic, chunk walk bounded by
+    * the byte count, PCM format code, sane channel/rate/width, data size
+    * consistent with block alignment) so arbitrary payloads cannot
+    * false-positive.
+    *
+    * MediaMeta mapping for audio: width = sample rate (Hz), height =
+    * frames, channels = channels. Features: mean absolute amplitude (in
+    * [0, 1], full scale = 1) of `featDim` equal temporal bands, each
+    * band sampled at ≤ 1024 evenly-spaced frames — a real loudness
+    * envelope at bounded cost regardless of clip length.
+    */
+  def decodeWav(id: Long, bytes: Array[Byte], featDim: Int): Option[MediaMeta] = {
+    def u16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    def i32(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
+      ((bytes(o + 2) & 0xFF) << 16) | ((bytes(o + 3) & 0xFF) << 24)
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    // chunk walk: fmt before data, both inside the payload
+    var off = 12
+    var fmtOff = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (off + 8 <= bytes.length && (fmtOff < 0 || dataOff < 0)) {
+      val cid = tag(off)
+      val clen = i32(off + 4)
+      if (clen < 0 || off + 8 + clen.toLong > bytes.length) return None
+      if (cid == "fmt " && clen >= 16) fmtOff = off + 8
+      else if (cid == "data") { dataOff = off + 8; dataLen = clen }
+      off += 8 + clen + (clen & 1) // chunks pad to even length
+    }
+    if (fmtOff < 0 || dataOff < 0) return None
+    val audioFormat = u16(fmtOff)
+    val channels = u16(fmtOff + 2)
+    val sampleRate = i32(fmtOff + 4)
+    val bits = u16(fmtOff + 14)
+    if (audioFormat != 1 || channels < 1 || channels > 8 ||
+        sampleRate <= 0 || sampleRate > 1000000 ||
+        (bits != 8 && bits != 16)) return None
+    val bytesPerFrame = channels * (bits / 8)
+    val frames = dataLen / bytesPerFrame
+    if (frames <= 0) return None
+    val feats = new Array[Float](featDim)
+    val bandFrames = math.max(1L, frames.toLong / featDim)
+    var f = 0
+    while (f < featDim) {
+      val from = f.toLong * frames / featDim
+      val until = math.min(frames.toLong, from + bandFrames)
+      val step = math.max(1L, (until - from) / 1024)
+      var sum = 0.0
+      var n = 0L
+      var fr = from
+      while (fr < until) {
+        var c = 0
+        while (c < channels) {
+          val o = dataOff + fr * bytesPerFrame + c * (bits / 8)
+          val amp =
+            if (bits == 8) math.abs((bytes(o.toInt) & 0xFF) - 128) / 128.0
+            else math.abs(u16(o.toInt).toShort.toInt) / 32768.0
+          sum += amp
+          c += 1
+        }
+        n += channels
+        fr += step
+      }
+      feats(f) = (sum / n).toFloat
+      f += 1
+    }
+    Some(MediaMeta(id, bytes.length, sampleRate, frames, channels, feats))
+  }
+
   /** (doc_id, payload binary) → typed metadata + feature vector, one
-    * partition-local batch pass. Real BMP decode when the payload is one;
-    * deterministic stub otherwise.
+    * partition-local batch pass. Real BMP / WAV decode when the payload
+    * is one; deterministic stub otherwise.
     */
   def extract(media: DataFrame, featDim: Int = 8): Dataset[MediaMeta] = {
     val spark = media.sparkSession
@@ -105,6 +177,7 @@ object Multimodal {
         // defense in depth: a malformed payload must degrade to the
         // stub, never fail the partition
         scala.util.Try(decodeBmp(id, b, featDim)).toOption.flatten
+          .orElse(scala.util.Try(decodeWav(id, b, featDim)).toOption.flatten)
           .getOrElse(decodeStub(id, b, featDim))
       })
   }

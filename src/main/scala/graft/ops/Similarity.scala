@@ -237,6 +237,26 @@ object Similarity {
         round(col("cosraw"), 6).as("cosine"), col("rank"))
   }
 
+  /** Symmetric per-vector int8 quantization — the storage format of a
+    * 100 TB embedding store (4 bytes → 1 byte per dimension; IVF/LSH
+    * candidate scans read the int8 vectors and only the final rerank
+    * touches floats). scale = max|v|/127, q_i = floor(v_i/scale + 0.5)
+    * (floor(x+0.5) instead of round() because IT is deterministic and
+    * identical across engines — Spark HALF_UP vs DuckDB's rounding would
+    * diverge on .5 boundaries); all-zero vectors quantize to zeros with
+    * scale 0. Dequantization error is bounded by scale/2 per dimension.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val scale = array_max(transform(col("embedding"),
+      x => abs(x.cast("double")))) / 127.0
+    emb.select(col("vec_id"), scale.as("scaleraw"), col("embedding"))
+      .select(col("vec_id"), round(col("scaleraw"), 9).as("scale"),
+        transform(col("embedding"), x =>
+          when(col("scaleraw") === 0.0, lit(0))
+            .otherwise(floor(x.cast("double") / col("scaleraw") + 0.5)
+              .cast("int"))).as("q"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
     * Exact variant pairs everything (small inputs / verification); the
     * scalable variant restricts to LSH-bucket collisions first.

@@ -232,6 +232,37 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeBmp(1L, hdr(1 << 21, 1), 2).isEmpty)
   }
 
+  test("multimodal decode: a real PCM WAV decodes geometry + loudness bands") {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    // 16-bit mono PCM, 8000 Hz, 8 frames with known samples
+    val samples = Seq(16384, -16384, 0, 32767, 8192, -8192, 0, -32768)
+    val data = samples.flatMap(le16).toArray
+    val wav =
+      "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+        le32(16000) ++ le16(2) ++ le16(16) ++
+        "data".getBytes ++ le32(data.length) ++ data
+    val m = Multimodal.decodeWav(5L, wav, featDim = 2).get
+    assert(m.width == 8000 && m.height == 8 && m.channels == 1)
+    val b0 = (16384.0 + 16384 + 0 + 32767) / 4 / 32768
+    val b1 = (8192.0 + 8192 + 0 + 32768) / 4 / 32768
+    assert(math.abs(m.features(0) - b0) < 1e-6, m.features.toSeq.toString)
+    assert(math.abs(m.features(1) - b1) < 1e-6)
+
+    // through the Spark plumbing → real-decode path
+    val media = spark.createDataset(Seq((5L, wav))).toDF("doc_id", "payload")
+    val via = Multimodal.extract(media, featDim = 2).collect()(0)
+    assert(via.width == 8000 && via.height == 8)
+
+    // float PCM (format 3) and truncated payloads fall back, not crash
+    val floatWav = wav.clone(); floatWav(20) = 3
+    assert(Multimodal.decodeWav(1L, floatWav, 2).isEmpty)
+    assert(Multimodal.decodeWav(1L, wav.take(40), 2).isEmpty)
+    assert(Multimodal.decodeWav(1L, "RIFFnot really audio content here".getBytes, 2).isEmpty)
+  }
+
   test("duplicateClusters: components via label propagation, multi-round chains") {
     import spark.implicits._
     // chain 1-2-3-4-5 (diameter 4 — forces several propagation rounds),
@@ -276,6 +307,23 @@ class OpsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     // "a b"×3, then count-1 grams in lexical order: "b a" before "b c"
     assert(got == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)), got.toString)
+  }
+
+  test("quantizeInt8: max maps to ±127, zero vector safe, error ≤ scale/2") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, -2.0f, 0.5f)),   // scale = 2/127
+      (2L, Array(0.0f, 0.0f, 0.0f))     // all-zero → scale 0, q all 0
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(df).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Int](2))).toMap
+    val (s1, q1) = got(1L)
+    assert(math.abs(s1 - 2.0 / 127) < 1e-9)
+    assert(q1 == Seq(64, -127, 32), q1.toString) // floor(x/scale + .5)
+    // dequantization error bound
+    q1.zip(Seq(1.0, -2.0, 0.5)).foreach { case (q, v) =>
+      assert(math.abs(q * (2.0 / 127) - v) <= (2.0 / 127) / 2 + 1e-12) }
+    assert(got(2L) == ((0.0, Seq(0, 0, 0))))
   }
 
   test("asofJoin: most recent prior match per user, equal-ts inclusive, no-match dropped") {
