@@ -100,6 +100,23 @@ WHERE CAST(${shr("m", 11)} AS DOUBLE) / 9007199254740992.0 <
         FROM ($mixed)))"""
       }),
 
+    // Deterministic global shuffle order: dense positions in
+    // mix64(doc_id ^ seed) order — the training-order randomization step,
+    // reproducible across partitionings (unlike orderBy(rand())). Spark
+    // sorts the hash in the unsigned domain (sign bit flipped) to match
+    // the oracle's HUGEINT ordering.
+    GateQuery("q_op_shuffle_order",
+      (s, d) => Sampling.shuffleOrder(docs(s, d), "doc_id", seed = 99L)
+        .select("doc_id", "shuffle_pos"),
+      Some {
+        import DuckSql._
+        val src = s"SELECT doc_id, ${x64("doc_id", "99")} AS hs FROM documents"
+        val mixed = mixStages(src, Seq("doc_id"), "hs", "m")
+        s"""SELECT doc_id,
+       row_number() OVER (ORDER BY m, doc_id) - 1 AS shuffle_pos
+FROM ($mixed)"""
+      }),
+
     // Context packing: per-shard concatenation in doc_id order, chunked
     // at 512 tokens — each doc mapped to the (bin, offset) of its first
     // token. Sequential only within a shard (window partitioned by

@@ -45,6 +45,35 @@ object Sampling {
     df.filter(unitHash(col(idCol), seed) < rate)
   }
 
+  /** Deterministic global training-order shuffle: every row gets a dense
+    * position 0..n-1 in the order of mix64(id ^ seed) (ties broken by
+    * id) — reproducible across runs, cluster sizes and partitionings,
+    * which `orderBy(rand())` is not. Plan shape at scale: a
+    * range-partitioned distributed sort (never a single-partition
+    * window), then contiguous positions via the zipWithIndex pattern —
+    * one extra job that collects only the per-partition COUNTS to
+    * offset each partition's local indices.
+    *
+    * The sort key is compared in the UNSIGNED domain (sign bit flipped)
+    * so engines that treat the 64-bit hash as unsigned (the DuckDB
+    * oracle) order identically.
+    */
+  def shuffleOrder(df: DataFrame, idCol: String, seed: Long): DataFrame = {
+    graft.functions.HashExpressions.register(df.sparkSession)
+    val spark = df.sparkSession
+    val keyed = df.withColumn("__shufkey",
+      mix64(col(idCol).cast("long").bitwiseXOR(lit(seed))))
+    val sorted = keyed.orderBy(
+      col("__shufkey").bitwiseXOR(lit(Long.MinValue)), col(idCol))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "shuffle_pos", org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(rdd, outSchema).drop("__shufkey")
+  }
+
   /** Mixture weighting with repetition: a row with stratum weight w
     * appears floor(w) times, plus once more iff unitHash < frac(w) —
     * so expected multiplicity is exactly w (w > 1 upsamples by

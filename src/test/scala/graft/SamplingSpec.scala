@@ -53,4 +53,26 @@ class SamplingSpec extends AnyFunSuite {
       Map("en" -> 0.0), 0.0, seed = 5L).count()
     assert(zero == 0)
   }
+
+  test("shuffleOrder: dense permutation, partition-invariant, seed-sensitive") {
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val a = Sampling.shuffleOrder(df, "doc_id", seed = 1L)
+      .select("doc_id", "shuffle_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // dense permutation of 0..n-1
+    assert(a.values.toSeq.sorted == (0L until 1000L))
+    // identical no matter how the input is partitioned (rand() is not)
+    val b = Sampling.shuffleOrder(df.repartition(7), "doc_id", seed = 1L)
+      .select("doc_id", "shuffle_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    // a different seed is a different permutation
+    val c = Sampling.shuffleOrder(df, "doc_id", seed = 2L)
+      .select("doc_id", "shuffle_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a != c)
+    // and it is not the identity order
+    assert(a.exists { case (id, pos) => id != pos })
+  }
 }
