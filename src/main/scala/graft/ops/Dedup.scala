@@ -105,22 +105,6 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jacraw"), 6).as("jaccard"))
   }
 
-  /** Collapse near-duplicate PAIRS into duplicate CLUSTERS — the step a
-    * real dedup pipeline needs after any pair generator (jaccard /
-    * minhash / simhash / embedding): connected components by iterative
-    * min-label propagation. Each round is one edge⋈label join plus one
-    * min-aggregation — fully shuffle-parallel, no driver-side graph, and
-    * rounds cut lineage via localCheckpoint so iteration N doesn't replan
-    * N joins. Rounds needed = component diameter; near-dup components are
-    * dense (pair generators emit quasi-cliques), so convergence is fast.
-    * The loop stops at the first round with zero label changes; `maxIter`
-    * bounds pathological chains (alternating large-star/small-star is the
-    * published O(log n)-round alternative if diameter ever dominates).
-    *
-    * Input columns (id_a, id_b); output one row per doc appearing in any
-    * pair: (doc_id, keep_id), keep_id = the component's minimum id — keep
-    * that doc, drop the rest of its cluster.
-    */
   /** Labels changed per round of the most recent [[duplicateClusters]]
     * run in this JVM — the operator's cost at scale is rounds × shuffle,
     * so the bench surfaces it (expected 2-3 rounds for the quasi-clique
@@ -130,6 +114,23 @@ object Dedup {
     new java.util.concurrent.atomic.AtomicReference[Seq[Long]](Nil)
   def lastClusterRounds: Seq[Long] = _lastClusterRounds.get
 
+  /** Collapse near-duplicate PAIRS into duplicate CLUSTERS — the step a
+    * real dedup pipeline needs after any pair generator (jaccard /
+    * minhash / simhash / embedding): connected components by iterative
+    * min-label propagation. Each round is one edge⋈label join plus one
+    * min-aggregation — fully shuffle-parallel, no driver-side graph, and
+    * each round materializes through a pinned RDD so iteration N doesn't
+    * replan N joins. Rounds needed = component diameter; near-dup
+    * components are dense (pair generators emit quasi-cliques), so
+    * convergence is fast. The loop stops at the first round with zero
+    * label changes; `maxIter` bounds pathological chains (alternating
+    * large-star/small-star is the published O(log n)-round alternative
+    * if diameter ever dominates).
+    *
+    * Input columns (id_a, id_b); output one row per doc appearing in any
+    * pair: (doc_id, keep_id), keep_id = the component's minimum id — keep
+    * that doc, drop the rest of its cluster.
+    */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val spark = pairs.sparkSession
     val e0 = pairs.select(col("id_a").cast("long").as("src"),
