@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * over mapInPandas: one JVM-side pass per partition, vectorizable batch
   * shape, no per-row driver involvement).
   *
-  * Decode: ONE real format is implemented — uncompressed 24/32-bit BMP
-  * (`decodeBmp`, pure JVM, no image libs needed) — and every other payload
-  * falls back to `decodeStub`, a deterministic fake (no JPEG/PNG/audio
-  * codecs ship in this container). Schema, binary transport, partition
-  * batching and feature shape are identical on both paths, so further real
-  * decoders drop into the same seam without touching the plumbing.
+  * Decode: THREE real formats are implemented, all pure JVM with no
+  * external libs — uncompressed 24/32-bit BMP (`decodeBmp`), 8-bit
+  * non-interlaced PNG (`decodePng`, zlib via `java.util.zip.Inflater`,
+  * full scanline unfiltering), and RIFF/WAVE integer PCM audio
+  * (`decodeWav`) — and every other payload falls back to `decodeStub`,
+  * a deterministic fake (no JPEG/Opus/video codecs ship in this
+  * container). Schema, binary transport, partition batching and feature
+  * shape are identical on all paths, so further real decoders drop into
+  * the same seam without touching the plumbing.
   */
 object Multimodal {
 
@@ -89,6 +92,115 @@ object Multimodal {
       f += 1
     }
     Some(MediaMeta(id, bytes.length, width, rows, channels, feats))
+  }
+
+  /** Real decode of PNG (8-bit greyscale/RGB/RGBA, non-interlaced) —
+    * pure JVM: zlib inflate via `java.util.zip.Inflater`, full scanline
+    * unfiltering (None/Sub/Up/Average/Paeth), CRC-verified chunks.
+    * Returns None for anything else (palette, 16-bit, interlaced, bad
+    * CRC, truncated, or dimensions whose pixel buffer would exceed the
+    * decode cap — a zip-bomb IDAT cannot balloon memory).
+    *
+    * Features: as decodeBmp — mean intensity of one sampled row per
+    * horizontal band, top to bottom, in [0, 1].
+    */
+  def decodePng(id: Long, bytes: Array[Byte], featDim: Int): Option[MediaMeta] = {
+    def i32(o: Int): Int = ((bytes(o) & 0xFF) << 24) | ((bytes(o + 1) & 0xFF) << 16) |
+      ((bytes(o + 2) & 0xFF) << 8) | (bytes(o + 3) & 0xFF) // PNG is big-endian
+    val Sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    if (bytes.length < 45 || !bytes.take(8).sameElements(Sig)) return None
+    var off = 8
+    var width = 0
+    var height = 0
+    var channels = 0
+    var sawIhdr = false
+    var sawIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (off + 12 <= bytes.length && !sawIend) {
+      val len = i32(off)
+      val ctype = new String(bytes, off + 4, 4, "US-ASCII")
+      if (len < 0 || off + 12L + len > bytes.length) return None
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, off + 4, 4 + len)
+      if (crc.getValue.toInt != i32(off + 8 + len)) return None
+      ctype match {
+        case "IHDR" =>
+          if (len != 13) return None
+          width = i32(off + 8)
+          height = i32(off + 12)
+          val bitDepth = bytes(off + 16) & 0xFF
+          val colorType = bytes(off + 17) & 0xFF
+          val (compression, filterM, interlace) =
+            (bytes(off + 18) & 0xFF, bytes(off + 19) & 0xFF, bytes(off + 20) & 0xFF)
+          channels = colorType match {
+            case 0 => 1 case 2 => 3 case 6 => 4 case _ => return None
+          }
+          if (bitDepth != 8 || compression != 0 || filterM != 0 ||
+              interlace != 0 || width <= 0 || height <= 0) return None
+          // decode cap: raw buffer ≤ 64 MB regardless of claimed dims
+          if ((1L + width.toLong * channels) * height > (64L << 20)) return None
+          sawIhdr = true
+        case "IDAT" => idat.write(bytes, off + 8, len)
+        case "IEND" => sawIend = true
+        case _ => // ancillary chunks skipped
+      }
+      off += 12 + len
+    }
+    if (!sawIhdr || !sawIend || idat.size == 0) return None
+    val rowBytes = width * channels
+    val raw = new Array[Byte]((1 + rowBytes) * height)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    while (got < raw.length && !inf.finished()) {
+      val n = inf.inflate(raw, got, raw.length - got)
+      if (n == 0 && inf.needsInput()) return None // truncated stream
+      got += n
+    }
+    inf.end()
+    if (got != raw.length) return None
+    // unfilter in place into pix (scanline filters are defined on the
+    // bytes of the PREVIOUS unfiltered row and the pixel to the left)
+    val pix = new Array[Byte](rowBytes * height)
+    val bpp = channels
+    var y = 0
+    while (y < height) {
+      val ft = raw(y * (1 + rowBytes)) & 0xFF
+      val src = y * (1 + rowBytes) + 1
+      val dst = y * rowBytes
+      var x = 0
+      while (x < rowBytes) {
+        val rv = raw(src + x) & 0xFF
+        val a = if (x >= bpp) pix(dst + x - bpp) & 0xFF else 0
+        val b = if (y > 0) pix(dst - rowBytes + x) & 0xFF else 0
+        val c = if (x >= bpp && y > 0) pix(dst - rowBytes + x - bpp) & 0xFF else 0
+        val out = ft match {
+          case 0 => rv
+          case 1 => rv + a
+          case 2 => rv + b
+          case 3 => rv + (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+            rv + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case _ => return None
+        }
+        pix(dst + x) = out.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val feats = new Array[Float](featDim)
+    var f = 0
+    while (f < featDim) {
+      val r = (f.toLong * height / featDim).toInt
+      var sum = 0L
+      var x = 0
+      while (x < rowBytes) { sum += (pix(r * rowBytes + x) & 0xFF); x += 1 }
+      feats(f) = (sum.toDouble / rowBytes / 255.0).toFloat
+      f += 1
+    }
+    Some(MediaMeta(id, bytes.length, width, height, channels, feats))
   }
 
   /** Real decode of a second modality: RIFF/WAVE PCM audio (8- or 16-bit
@@ -177,6 +289,7 @@ object Multimodal {
         // defense in depth: a malformed payload must degrade to the
         // stub, never fail the partition
         scala.util.Try(decodeBmp(id, b, featDim)).toOption.flatten
+          .orElse(scala.util.Try(decodePng(id, b, featDim)).toOption.flatten)
           .orElse(scala.util.Try(decodeWav(id, b, featDim)).toOption.flatten)
           .getOrElse(decodeStub(id, b, featDim))
       })

@@ -232,6 +232,80 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeBmp(1L, hdr(1 << 21, 1), 2).isEmpty)
   }
 
+  test("multimodal decode: a real PNG decodes through all scanline filters") {
+    // hand-built 3×4 RGB PNG: each row uses a different filter type
+    // (None/Sub/Up/Paeth), encoded by applying the PNG filter forward —
+    // the decoder must invert all of them exactly
+    val width = 3; val height = 4; val ch = 3
+    val pixels: Array[Array[Int]] = Array(
+      Array(10, 20, 30, 40, 50, 60, 70, 80, 90),
+      Array(110, 120, 130, 140, 150, 160, 170, 180, 190),
+      Array(115, 125, 135, 145, 155, 165, 175, 185, 195),
+      Array.fill(9)(200))
+    val filters = Array(0, 1, 2, 4)
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val scan = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until height) {
+      scan.write(filters(y))
+      for (x <- 0 until width * ch) {
+        val a = if (x >= ch) pixels(y)(x - ch) else 0
+        val b = if (y > 0) pixels(y - 1)(x) else 0
+        val c = if (x >= ch && y > 0) pixels(y - 1)(x - ch) else 0
+        val pred = filters(y) match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 4 => paeth(a, b, c)
+        }
+        scan.write((pixels(y)(x) - pred) & 0xFF)
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(scan.toByteArray); defl.finish()
+    val zBuf = new Array[Byte](1024)
+    val zOut = new java.io.ByteArrayOutputStream()
+    while (!defl.finished()) zOut.write(zBuf, 0, defl.deflate(zBuf))
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def chunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(ctype.getBytes("US-ASCII")); crc.update(data)
+      be32(data.length) ++ ctype.getBytes("US-ASCII") ++ data ++
+        be32(crc.getValue.toInt)
+    }
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    val ihdr = be32(width) ++ be32(height) ++
+      Array[Byte](8, 2, 0, 0, 0) // 8-bit, RGB, non-interlaced
+    val png = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", zOut.toByteArray) ++
+      chunk("IEND", Array.empty[Byte])
+
+    val m = Multimodal.decodePng(9L, png, featDim = 4).get
+    assert(m.width == 3 && m.height == 4 && m.channels == 3)
+    for (y <- 0 until 4) {
+      val mean = pixels(y).sum.toDouble / 9 / 255.0
+      assert(math.abs(m.features(y) - mean) < 1e-6,
+        s"row $y: ${m.features(y)} vs $mean")
+    }
+
+    // through the Spark plumbing → real-decode path
+    val media = spark.createDataset(Seq((9L, png))).toDF("doc_id", "payload")
+    val via = Multimodal.extract(media, featDim = 4).collect()(0)
+    assert(via.width == 3 && via.height == 4 && via.channels == 3)
+
+    // a flipped CRC byte, truncation, and interlaced flag all reject
+    val bad = png.clone(); bad(bad.length - 1) = (bad.last ^ 0x7F).toByte
+    assert(Multimodal.decodePng(1L, bad, 4).isEmpty)
+    assert(Multimodal.decodePng(1L, png.take(png.length - 20), 4).isEmpty)
+    val inter = sig ++ chunk("IHDR", be32(3) ++ be32(4) ++
+      Array[Byte](8, 2, 0, 0, 1)) ++ chunk("IDAT", zOut.toByteArray) ++
+      chunk("IEND", Array.empty[Byte])
+    assert(Multimodal.decodePng(1L, inter, 4).isEmpty)
+  }
+
   test("multimodal decode: a real PCM WAV decodes geometry + loudness bands") {
     def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
     def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
