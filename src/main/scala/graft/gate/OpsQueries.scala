@@ -297,6 +297,31 @@ FROM g GROUP BY 1
 ORDER BY n_occurrences DESC, gram ASC
 LIMIT 50""")),
 
+    // PMI collocations: the statistically-associated bigrams (phrase
+    // mining / tokenizer-merge candidates). Arithmetic shape mirrored
+    // exactly (same division order) so 6dp values are bit-reproducible;
+    // ordered by RAW pmi with gram tie-break (total order at the k cut).
+    GateQuery("q_op_collocations",
+      (s, d) => TextAnalysis.collocations(docs(s, d), minCount = 5, k = 50),
+      Some(s"""$tokPrelude,
+uni AS (SELECT w, count(*) AS cu
+        FROM (SELECT unnest(toks) AS w FROM base) GROUP BY 1),
+big AS (SELECT w1, w2, count(*) AS cab FROM (
+          SELECT toks[i] AS w1, toks[i+1] AS w2
+          FROM (SELECT toks, unnest(CASE WHEN len(toks) < 2 THEN []
+                               ELSE range(1, len(toks)) END) AS i FROM base))
+        GROUP BY 1, 2),
+n1 AS (SELECT sum(cu)::DOUBLE AS s1 FROM uni),
+n2 AS (SELECT sum(cab)::DOUBLE AS s2 FROM big),
+j AS (
+  SELECT w1 || ' ' || w2 AS gram, cab,
+         ln((cab::DOUBLE / s2) /
+            ((ua.cu::DOUBLE / s1) * (ub.cu::DOUBLE / s1))) AS pmiraw
+  FROM big JOIN uni ua ON ua.w = w1 JOIN uni ub ON ub.w = w2, n1, n2
+  WHERE cab >= 5)
+SELECT gram, cab AS n_occurrences, round(pmiraw, 6) AS pmi
+FROM j ORDER BY pmiraw DESC, gram ASC LIMIT 50""")),
+
     // Benchmark decontamination: corpus docs sharing any 3-gram with a
     // benchmark doc (here: doc_id < 25 as the stand-in eval set), with
     // overlap counts; benchmark gram set broadcasts at scale.

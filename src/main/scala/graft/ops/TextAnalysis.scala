@@ -214,6 +214,47 @@ object TextAnalysis {
     * heap, never a full sort. Deterministic at the k boundary because
     * the order is total.
     */
+  /** Top-k bigram collocations by pointwise mutual information —
+    * PMI = ln( p(ab) / (p(a)·p(b)) ) with p from corpus unigram/bigram
+    * counts; `minCount` floors the bigram count (PMI of rare pairs is
+    * noise). The arithmetic shape (each division and multiplication in
+    * this exact order) is mirrored in the oracle so the 6dp-rounded
+    * values are bit-reproducible. Plan at scale: two counting groupBys
+    * (map-side combined), the unigram table joined onto bigrams twice
+    * (broadcast when vocabulary fits, shuffle otherwise — Spark's
+    * choice), single-row totals broadcast, TakeOrdered on the total
+    * order (raw PMI desc, gram asc).
+    */
+  def collocations(docs: DataFrame, minCount: Long = 5, k: Int = 50): DataFrame = {
+    val toks = tokensCol(col("text"))
+    val grams = when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - 2),
+        i => struct(element_at(toks, i + 1).as("w1"),
+          element_at(toks, i + 2).as("w2"))))
+    val big = docs.select(explode(grams).as("g"))
+      .select(col("g.w1"), col("g.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+    val uni = docs.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val n1 = uni.agg(sum("cu").cast("double").as("n1"))
+    val n2 = big.agg(sum("cab").cast("double").as("n2"))
+    val joined = big
+      .join(uni.select(col("w").as("w1"), col("cu").as("ca")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cu").as("cb")), "w2")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .filter(col("cab") >= minCount)
+      .withColumn("pmiraw",
+        log((col("cab").cast("double") / col("n2")) /
+          ((col("ca").cast("double") / col("n1")) *
+            (col("cb").cast("double") / col("n1")))))
+    joined
+      .withColumn("gram", concat_ws(" ", col("w1"), col("w2")))
+      .orderBy(col("pmiraw").desc, col("gram").asc)
+      .limit(k)
+      .select(col("gram"), col("cab").as("n_occurrences"),
+        round(col("pmiraw"), 6).as("pmi"))
+  }
+
   def ngramTopK(docs: DataFrame, n: Int = 2, k: Int = 50): DataFrame = {
     require(n >= 1 && k >= 1, s"need n >= 1, k >= 1; got n=$n k=$k")
     val toks = tokensCol(col("text"))

@@ -370,6 +370,23 @@ class OpsSpec extends AnyFunSuite {
       s"boilerplate-only pairs leaked: $pairs")
   }
 
+  test("collocations: PMI values and ordering match hand computation") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b"), (2L, "c d")).toDF("doc_id", "text")
+    // unigrams a:2 b:2 c:1 d:1 (N1=6); bigrams (a,b):2 (b,a):1 (c,d):1 (N2=4)
+    val got = TextAnalysis.collocations(df, minCount = 1, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    def pmi(cab: Double, ca: Double, cb: Double) =
+      math.log((cab / 4) / ((ca / 6) * (cb / 6)))
+    val exp = Seq(
+      ("c d", 1L, math.rint(pmi(1, 1, 1) * 1e6) / 1e6),
+      ("a b", 2L, math.rint(pmi(2, 2, 2) * 1e6) / 1e6),
+      ("b a", 1L, math.rint(pmi(1, 2, 2) * 1e6) / 1e6))
+    assert(got.map(g => (g._1, g._2)) == exp.map(e => (e._1, e._2)), got.toString)
+    got.zip(exp).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) < 1e-6, s"${g._1}: ${g._3} vs ${e._3}") }
+  }
+
   test("ngramTopK: counts, total-order tie-break, short docs contribute nothing") {
     import spark.implicits._
     val df = Seq(
