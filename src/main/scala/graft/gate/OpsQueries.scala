@@ -497,11 +497,21 @@ FROM se GROUP BY 1, 2""")),
     GateQuery("q_op_events_asof",
       (s, d) => EventOps.asofJoin(
         s.read.parquet(s"$d/events.parquet"), "click", "purchase"),
+      // The right side is pre-deduped to the max-event_id row per
+      // (user_id, ts): with duplicate timestamps DuckDB's ASOF tie choice
+      // is unspecified, while the Spark running-last over (ts, kind,
+      // event_id) deterministically keeps the greatest event_id — the
+      // dedup pins the oracle to that same row without changing which
+      // timestamp matches.
       Some("""SELECT l.event_id, l.user_id, r.event_id AS matched_event_id,
        round(r.value, 6) AS matched_value,
        floor(epoch(l.ts))::BIGINT - floor(epoch(r.ts))::BIGINT AS lag_sec
 FROM (SELECT * FROM events WHERE event_type = 'click') l
-ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+ASOF JOIN (SELECT user_id, ts,
+                  arg_max(event_id, event_id) AS event_id,
+                  arg_max(value, event_id) AS value
+           FROM events WHERE event_type = 'purchase'
+           GROUP BY user_id, ts) r
   ON l.user_id = r.user_id AND l.ts >= r.ts""")),
 
     // --- multimodal binary plumbing ---------------------------------------

@@ -305,6 +305,8 @@ object Dedup {
       .select(col("doc_id"), simUdf(col("toks")).as("simhash"))
   }
 
+  private val MaxTables = 1024L
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
     *
     * Candidate generation is recall-COMPLETE for the given radius and
@@ -325,8 +327,6 @@ object Dedup {
     * published SimHash-dedup tradeoff): maxHamming=8, blocks=12 →
     * C(12,4)=495 tables of ≥20-bit keys.
     */
-  private val MaxTables = 1024L
-
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    blocksOverride: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,

@@ -152,12 +152,17 @@ object Multimodal {
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     var got = 0
-    while (got < raw.length && !inf.finished()) {
-      val n = inf.inflate(raw, got, raw.length - got)
-      if (n == 0 && inf.needsInput()) return None // truncated stream
-      got += n
-    }
-    inf.end()
+    try {
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        // n == 0 with input still pending covers truncated streams AND
+        // FDICT (preset-dictionary) zlib streams, where inflate() stalls
+        // with needsInput()==false — looping on either would spin the
+        // executor task forever. Both are malformed for PNG: bail.
+        if (n == 0) return None
+        got += n
+      }
+    } finally inf.end() // release the native zlib buffer on every path
     if (got != raw.length) return None
     // unfilter in place into pix (scanline filters are defined on the
     // bytes of the PREVIOUS unfiltered row and the pixel to the left)

@@ -204,16 +204,6 @@ object TextAnalysis {
           .as("fingerprint"))
   }
 
-  /** Corpus-level top-k n-grams by occurrence count — the contamination /
-    * boilerplate census a pretraining pipeline runs before filtering
-    * (what IS the most repeated 2-gram across the crawl?). Plan shape at
-    * scale: per-row gram arrays (scan-stage transform) → explode →
-    * groupBy with map-side partial aggregation (the gram space is Zipf,
-    * so partials collapse the head before the shuffle) → global
-    * TakeOrdered on the total order (count desc, gram asc) — a bounded
-    * heap, never a full sort. Deterministic at the k boundary because
-    * the order is total.
-    */
   /** Top-k bigram collocations by pointwise mutual information —
     * PMI = ln( p(ab) / (p(a)·p(b)) ) with p from corpus unigram/bigram
     * counts; `minCount` floors the bigram count (PMI of rare pairs is
@@ -255,6 +245,16 @@ object TextAnalysis {
         round(col("pmiraw"), 6).as("pmi"))
   }
 
+  /** Corpus-level top-k n-grams by occurrence count — the contamination /
+    * boilerplate census a pretraining pipeline runs before filtering
+    * (what IS the most repeated 2-gram across the crawl?). Plan shape at
+    * scale: per-row gram arrays (scan-stage transform) → explode →
+    * groupBy with map-side partial aggregation (the gram space is Zipf,
+    * so partials collapse the head before the shuffle) → global
+    * TakeOrdered on the total order (count desc, gram asc) — a bounded
+    * heap, never a full sort. Deterministic at the k boundary because
+    * the order is total.
+    */
   def ngramTopK(docs: DataFrame, n: Int = 2, k: Int = 50): DataFrame = {
     require(n >= 1 && k >= 1, s"need n >= 1, k >= 1; got n=$n k=$k")
     val toks = tokensCol(col("text"))
