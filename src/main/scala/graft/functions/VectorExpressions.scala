@@ -33,6 +33,32 @@ object VectorOps {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** Cosine similarity of two int8-quantized vectors packed as BINARY
+    * (one signed byte per dimension, values in [-127, 127] — the 1-byte
+    * storage format of the q8 ANN store). The per-vector quantization
+    * scales CANCEL in the cosine ratio, so this is pure integer
+    * arithmetic — exact in Long (dim·127² ≪ 2⁶³), identical on any
+    * engine — with one double division at the end. Zero vectors score 0
+    * (they have no direction).
+    */
+  def cosineQ8(a: Array[Byte], b: Array[Byte]): Double = {
+    var dot = 0L
+    var na = 0L
+    var nb = 0L
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val x = a(i).toLong
+      val y = b(i).toLong
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0L || nb == 0L) 0.0
+    else dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
 }
 
 /** cosine_f(a array<float>, b array<float>) → double: cosine similarity
@@ -78,9 +104,50 @@ case class CosineFExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** cosine_q8(a binary, b binary) → double: cosine over byte-packed
+  * int8-quantized vectors as a native codegen expression — the candidate
+  * scan kernel of the quantized ANN path (Similarity.ivfTopKQ8).
+  */
+case class CosineQ8Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def isBinary(t: DataType): Boolean = t match {
+    case BinaryType => true
+    case NullType => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isBinary(left.dataType) && isBinary(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_q8 expects (binary, binary), got " +
+        s"(${left.dataType}, ${right.dataType})")
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "cosine_q8"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosineQ8(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""${ev.value} = graft.functions.VectorOps$$.MODULE$$.cosineQ8($a, $b);""")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
-  /** Register cosine_f in the session's function registry (idempotent). */
-  def register(spark: SparkSession): Unit =
+  /** Register cosine_f / cosine_q8 in the session's function registry
+    * (idempotent).
+    */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_f", exprs => CosineFExpr(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_q8", exprs => CosineQ8Expr(exprs(0), exprs(1)), "scala_udf")
+  }
 }

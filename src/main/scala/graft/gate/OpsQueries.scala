@@ -345,6 +345,34 @@ FROM cs c JOIN bs b USING (shingle)
 WHERE c.doc_id <> b.bench_id
 GROUP BY 1""")),
 
+    // Exact-substring dedup: pairs sharing any ≥20-token VERBATIM span,
+    // with the longest shared span length — window-digest bucketing +
+    // per-diagonal gaps-and-islands (Dedup.substringDup scaladoc); the
+    // oracle mirrors the window/run construction in SQL.
+    GateQuery("q_op_dedup_substring",
+      (s, d) => Dedup.substringDup(docs(s, d), minTokens = 20,
+        maxWindowDf = 1000L),
+      Some(s"""$tokPrelude,
+w AS (
+  SELECT doc_id, i::BIGINT - 1 AS pos,
+         md5(array_to_string(toks[i:i+19], ' ')) AS win
+  FROM (SELECT doc_id, toks,
+               unnest(CASE WHEN len(toks) < 20 THEN []
+                      ELSE range(1, len(toks) - 18) END) AS i FROM base)),
+hot AS (SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) > 1000),
+kept AS (SELECT * FROM w WHERE win NOT IN (SELECT win FROM hot)),
+m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
+      FROM kept a JOIN kept b ON a.win = b.win AND a.doc_id < b.doc_id),
+runs AS (SELECT id_a, id_b, pa, pa - pb AS diag,
+                pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb
+                                        ORDER BY pa) AS grp
+         FROM m),
+spans AS (SELECT id_a, id_b, count(*) AS len
+          FROM runs GROUP BY id_a, id_b, diag, grp)
+SELECT id_a, id_b, sum(len)::BIGINT AS n_shared_windows,
+       (max(len) + 19)::BIGINT AS max_span_tokens
+FROM spans GROUP BY 1, 2""")),
+
     GateQuery("q_op_minhash_lsh",
       (s, d) => Dedup.minhashLsh(docs(s, d), w = 3, numHashes = 32,
         bands = 8, threshold = 0.3),
@@ -434,6 +462,16 @@ WHERE rank <= 10""")),
     GateQuery("q_op_ann_ivf",
       (s, d) => Similarity.ivfTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10,
         nCentroids = 8, nProbe = 2, iters = 2, trainN = 256L),
+      Some(DuckSql.annIvfOracle(Seq(0L, 1L, 2L, 3L, 4L), 10, nCentroids = 8,
+        nProbe = 2, iters = 2, trainN = 256L))),
+
+    // IVF with an INT8 candidate scan + float rerank of the top rerank·k.
+    // Gated against the SAME exact-cosine IVF oracle as q_op_ann_ivf:
+    // a green hash certifies the quantized prefilter lost nothing from
+    // the true top-k (the recall contract of the q8 path).
+    GateQuery("q_op_ann_ivf_q8",
+      (s, d) => Similarity.ivfTopKQ8(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10,
+        nCentroids = 8, nProbe = 2, iters = 2, trainN = 256L, rerank = 4),
       Some(DuckSql.annIvfOracle(Seq(0L, 1L, 2L, 3L, 4L), 10, nCentroids = 8,
         nProbe = 2, iters = 2, trainN = 256L))),
 

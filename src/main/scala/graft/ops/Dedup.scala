@@ -86,10 +86,13 @@ object Dedup {
       val dropFrequent = udf { (shs: Seq[String]) =>
         shs.filterNot(bcFreq.value.contains)
       }
+      // outer explode (TextAnalysis.explodeNN scaladoc): the inferred
+      // pre-filter would re-evaluate dropFrequent twice more per row
       arrs.select(col("doc_id"),
           (if (frequent.isEmpty) col("shs") else dropFrequent(col("shs"))).as("shs"))
         .select(col("doc_id"), size(col("shs")).as("sz"),
-          explode(col("shs")).as("shingle"))
+          explode_outer(col("shs")).as("shingle"))
+        .filter(col("shingle").isNotNull)
     }
     capped.as("a").join(capped.as("b"),
         col("a.shingle") === col("b.shingle") &&
@@ -206,15 +209,83 @@ object Dedup {
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     w: Int = 5): DataFrame = {
-    val cs = shingleArrays(corpus, w)
-      .select(col("doc_id"), explode(col("shs")).as("shingle"))
-    val bs = shingleArrays(benchmark, w)
-      .select(col("doc_id").as("bench_id"), explode(col("shs")).as("shingle"))
+    // outer+null-filter explodes (TextAnalysis.explodeNN scaladoc): the
+    // shingle arrays are uncached here, so inner explode's inferred
+    // pre-filter would re-inline the whole tokenize+shingle lineage into
+    // an interpreted quadratic Filter at the scan
+    val cs = TextAnalysis.explodeNN(shingleArrays(corpus, w),
+      Seq(col("doc_id")), col("shs"), "shingle")
+    val bs = TextAnalysis.explodeNN(shingleArrays(benchmark, w),
+      Seq(col("doc_id").as("bench_id")), col("shs"), "shingle")
     cs.join(broadcast(bs), Seq("shingle"))
       .filter(col("doc_id") =!= col("bench_id"))
       .groupBy("doc_id")
       .agg(countDistinct("shingle").as("n_shared_grams"),
         countDistinct("bench_id").as("n_bench_docs"))
+  }
+
+  /** Exact-substring duplicate pairs — the published dedup modality that
+    * catches verbatim reuse (boilerplate, license blocks, syndicated
+    * articles) which set-similarity misses: two docs are reported iff
+    * they share a VERBATIM run of ≥ `minTokens` tokens, with the length
+    * of their longest shared run.
+    *
+    * A shared span of length S ≥ L contains exactly S−L+1 of the docs'
+    * overlapping L-token windows, so pairing on window equality is both
+    * complete and positionally reconstructible — the suffix-array result
+    * for fixed L without a global sort. Plan shape at scale:
+    *
+    *  1. per-doc window DIGESTS (md5 over each L-token window) built in
+    *     the scan stage — one array per doc, persisted (the same cached
+    *     pre-explode form as [[ngramJaccard]]);
+    *  2. boilerplate windows (doc frequency > maxWindowDf, the Zipf head
+    *     — small for the same reason a broadcast join is possible) are
+    *     dropped by a broadcast anti-join, so a hot license block cannot
+    *     quadratically explode one reducer;
+    *  3. candidates bucket by window digest — pairs materialize ONLY for
+    *     docs sharing a window, never all-pairs;
+    *  4. shared windows chain into maximal runs per (pair, diagonal)
+    *     (diag = posₐ − pos_b; gaps-and-islands over pa), shuffled by
+    *     pair — collision-only data.
+    *
+    * Output: (id_a, id_b, n_shared_windows, max_span_tokens), id_a <
+    * id_b; max_span_tokens = longest run + L − 1 = the longest verbatim
+    * token span the pair shares.
+    */
+  def substringDup(docs: DataFrame, minTokens: Int = 50,
+                   maxWindowDf: Long = 10000L): DataFrame = {
+    val arrs = OpScratch.track(
+      docs.select(col("doc_id"), toksCol.as("toks"))
+        .select(col("doc_id"),
+          when(size(col("toks")) < minTokens, array().cast("array<string>"))
+            .otherwise(transform(
+              sequence(lit(0), size(col("toks")) - minTokens),
+              i => md5(concat_ws(" ",
+                slice(col("toks"), i + 1, lit(minTokens)))))).as("wins"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // posexplode_outer per TextAnalysis.explodeNN scaladoc
+    val w = arrs.select(col("doc_id"), posexplode_outer(col("wins")))
+      .filter(col("col").isNotNull)
+      .select(col("doc_id"), col("pos"), col("col").as("win"))
+    val hot = w.groupBy("win").agg(countDistinct("doc_id").as("wdf"))
+      .filter(col("wdf") > maxWindowDf).select("win")
+    val kept = w.join(broadcast(hot), Seq("win"), "left_anti")
+    val m = kept.as("a").join(kept.as("b"),
+        col("a.win") === col("b.win") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+    // within one (pair, diagonal), pa is unique (pb = pa − diag), so the
+    // row_number order is total and pa − row_number is constant exactly
+    // on consecutive-pa runs
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    val runs = m.withColumn("diag", col("pa") - col("pb"))
+      .withColumn("grp", col("pa") - row_number().over(wnd))
+    runs.groupBy("id_a", "id_b", "diag", "grp")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("id_a", "id_b")
+      .agg(sum("len").as("n_shared_windows"),
+        (max(col("len")) + lit(minTokens - 1)).as("max_span_tokens"))
   }
 
   /** Deterministic 64-bit hash of a string (shared by MinHash/SimHash and
@@ -263,9 +334,13 @@ object Dedup {
     val rows = numHashes / bands
     val sigs = OpScratch.track(minhashSignatures(docs, w, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val banded = sigs.select(col("doc_id"), posexplode(
+    // posexplode_outer (TextAnalysis.explodeNN scaladoc): inner
+    // posexplode's inferred pre-filter re-builds the band transform twice
+    // more per row
+    val banded = sigs.select(col("doc_id"), posexplode_outer(
       transform(sequence(lit(0), lit(bands - 1)),
         b => slice(col("sig"), b * lit(rows) + 1, lit(rows)))))
+      .filter(col("col").isNotNull)
       .select(col("doc_id"), col("pos").as("band"),
         col("col").cast("string").as("bucket"))
     val cand = banded.as("a").join(banded.as("b"),
@@ -319,16 +394,25 @@ object Dedup {
     * key per table and candidates are same-table key collisions — linear
     * in collisions, never an all-pairs join.
     *
-    * `blocks` defaults so the per-table key space is ≥ 2^16 (the knob
-    * that keeps the join sub-quadratic at corpus scale): key bits =
-    * m · (64 / blocks). The classic small-radius config falls out
-    * naturally — maxHamming=3, blocks=4 → 4 tables keyed on one 16-bit
-    * block each. Large radii trade table count for key width (the
-    * published SimHash-dedup tradeoff): maxHamming=8, blocks=12 →
-    * C(12,4)=495 tables of ≥20-bit keys.
+    * `blocks` ADAPTS to the corpus: the per-table key must span at least
+    * log2(n) bits (then expected same-bucket collision PAIRS per table
+    * stay ≤ n — the sub-quadratic guarantee), and every extra block
+    * multiplies the table count C(blocks, m), so the selector picks the
+    * FEWEST-TABLES feasible config whose key bits ≥ clamp(⌈log2 n⌉, 12,
+    * 48). A 5k-doc corpus at radius 8 gets C(11,3)=165 tables of 15-bit
+    * keys instead of paying the C(12,4)=495-table plan a 10⁹-doc corpus
+    * needs; a 10⁹-doc corpus at radius 3 gets C(6,3)=20 tables of 30-bit
+    * keys instead of 4 tables of 16-bit keys (which would put 15M docs
+    * in every bucket). Radii/sizes whose requirement is infeasible under
+    * the table budget degrade to the widest key the budget allows —
+    * still recall-complete, just a coarser join. Recall completeness is
+    * structural (the pigeonhole argument) for EVERY blocks choice;
+    * `corpusSize` ≤ 0 means "count the docs" (one count on the persisted
+    * 2-column signature frame — it materializes the cache the banding
+    * pass needs anyway).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-                   blocksOverride: Int = 0): DataFrame = {
+                   blocksOverride: Int = 0, corpusSize: Long = 0L): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 63], got $maxHamming")
     // table count C(b, b - maxHamming), capped (no overflow; anything past
@@ -340,18 +424,20 @@ object Dedup {
       while (j <= mm && n <= MaxTables) { n = n * (b - mm + j) / j; j += 1 }
       n
     }
-    // smallest block count whose key (blocks - maxHamming blocks wide)
-    // spans ≥ 16 bits within the table budget: m·⌊64/blocks⌋ ≥ 16. Very
-    // large radii can't reach 16 key bits under the budget — degrade to
-    // the widest key the budget allows (still recall-complete, just a
-    // coarser join; radii that big are recall-reference territory, not a
-    // production dedup config).
+    val sh = OpScratch.track(simhash(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val blocks =
       if (blocksOverride > 0) blocksOverride
       else {
+        val n = if (corpusSize > 0) corpusSize else sh.count()
+        val needBits =
+          math.min(48, math.max(12, 64 - java.lang.Long.numberOfLeadingZeros(
+            math.max(1L, n - 1)))) // = ⌈log2 n⌉ clamped to [12, 48]
+        def keyBits(b: Int): Long = (b - maxHamming).toLong * (64 / b)
         val feasible = ((maxHamming + 1) to 64).filter(tables(_) <= MaxTables)
-        feasible.find(b => (b - maxHamming).toLong * (64 / b) >= 16)
-          .getOrElse(feasible.maxBy(b => (b - maxHamming).toLong * (64 / b)))
+        val meeting = feasible.filter(keyBits(_) >= needBits)
+        if (meeting.nonEmpty) meeting.minBy(tables)
+        else feasible.maxBy(keyBits)
       }
     require(blocks > maxHamming && blocks <= 64,
       s"blocks must be in (maxHamming, 64], got $blocks")
@@ -385,10 +471,12 @@ object Dedup {
         key
       }
     }
-    val sh = OpScratch.track(simhash(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // posexplode_outer (TextAnalysis.explodeNN scaladoc): inner
+    // posexplode's inferred pre-filter re-runs keysUdf — the full
+    // combination-table key build — twice more per row
     val banded = sh.select(col("doc_id"), col("simhash"),
-      posexplode(keysUdf(col("simhash"))))
+      posexplode_outer(keysUdf(col("simhash"))))
+      .filter(col("col").isNotNull)
       .select(col("doc_id"), col("simhash"), col("pos").as("band"), col("col").as("bucket"))
     val ham = udf { (a: Long, b: Long) => java.lang.Long.bitCount(a ^ b) }
     banded.as("a").join(banded.as("b"),

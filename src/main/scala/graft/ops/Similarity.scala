@@ -34,6 +34,35 @@ object Similarity {
     call_function("cosine_f", a, b)
   }
 
+  /** Cosine over byte-packed int8-quantized vectors (native codegen
+    * expression; the per-vector scales cancel, so it is exact integer
+    * arithmetic).
+    */
+  def cosineQ8Col(a: Column, b: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.VectorExpressions.register)
+    call_function("cosine_q8", a, b)
+  }
+
+  /** The int8 array for a float embedding column given its (raw)
+    * per-vector scale — the single quantization formula shared by the
+    * standalone [[quantizeInt8]] and the q8 ANN store ([[q8IvfStore]]),
+    * so both always agree bit-for-bit.
+    */
+  private def qArr(embCol: Column, scaleraw: Column): Column =
+    transform(embCol, x =>
+      when(scaleraw === 0.0, lit(0))
+        .otherwise(floor(x.cast("double") / scaleraw + 0.5).cast("int")))
+
+  private def scaleRawCol(embCol: Column): Column =
+    array_max(transform(embCol, x => abs(x.cast("double")))) / 127.0
+
+  /** Byte-pack an int8-valued array<int> into BINARY — one signed byte
+    * per dimension, the 1-byte-per-dim storage of the q8 store. Runs once
+    * per vector at INGEST (store build), never on the scan path.
+    */
+  private val packQ8 = udf { (q: Seq[Int]) => q.map(_.toByte).toArray }
+
   /** Brute-force cosine top-k: for each query vector (vec_id in queryIds),
     * the k nearest other vectors. Ties break by neighbor id ascending.
     */
@@ -104,8 +133,12 @@ object Similarity {
       }
       out
     }
+    // posexplode_outer (TextAnalysis.explodeNN scaladoc): inner
+    // posexplode's inferred pre-filter re-runs sigUdf — nTables×nBits
+    // hyperplane dot products — twice more per row
     emb.withColumn("sigs", sigUdf(col("embedding")))
-      .select(col("*"), posexplode(col("sigs")))
+      .select(col("*"), posexplode_outer(col("sigs")))
+      .filter(col("col").isNotNull)
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
       .drop("sigs")
   }
@@ -221,9 +254,13 @@ object Similarity {
     }
     val assigned = emb.select(col("vec_id"), col("embedding"),
       assignUdf(col("embedding")).as("cidx"))
+    // outer explode (TextAnalysis.explodeNN scaladoc): inner explode's
+    // inferred pre-filter re-runs probeUdf (nProbe centroid distances)
+    // twice more per row
     val queries = emb.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
-        explode(probeUdf(col("embedding"))).as("cidx"))
+        explode_outer(probeUdf(col("embedding"))).as("cidx"))
+      .filter(col("cidx").isNotNull)
     val joined = assigned.join(broadcast(queries),
         Seq("cidx"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -246,15 +283,90 @@ object Similarity {
     * diverge on .5 boundaries); all-zero vectors quantize to zeros with
     * scale 0. Dequantization error is bounded by scale/2 per dimension.
     */
-  def quantizeInt8(emb: DataFrame): DataFrame = {
-    val scale = array_max(transform(col("embedding"),
-      x => abs(x.cast("double")))) / 127.0
-    emb.select(col("vec_id"), scale.as("scaleraw"), col("embedding"))
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), scaleRawCol(col("embedding")).as("scaleraw"),
+        col("embedding"))
       .select(col("vec_id"), round(col("scaleraw"), 9).as("scale"),
-        transform(col("embedding"), x =>
-          when(col("scaleraw") === 0.0, lit(0))
-            .otherwise(floor(x.cast("double") / col("scaleraw") + 0.5)
-              .cast("int"))).as("q"))
+        qArr(col("embedding"), col("scaleraw")).as("q"))
+
+  /** The IVF-q8 index store: one ingest pass over the float embeddings
+    * producing (vec_id, cidx, q BINARY) — coarse cell assignment plus the
+    * byte-packed int8 vector (EXACTLY 1 byte per dimension on disk,
+    * vs 4 for floats). THIS is what the candidate scan reads at query
+    * time; floats are touched again only by the final top-c rerank's
+    * point lookups. Centroids are deterministic from (emb, nCentroids,
+    * trainN, iters), so a query-time caller recovers the same cells
+    * without storing them.
+    */
+  def q8IvfStore(emb: DataFrame, nCentroids: Int = 8, iters: Int = 2,
+                 trainN: Long = 256L): DataFrame = {
+    val cents = trainIvfCentroids(emb, nCentroids, trainN, iters)
+    val assignUdf = udf { (v: Seq[Float]) =>
+      nearestCentroid(v.toArray.map(_.toDouble), cents)
+    }
+    emb.select(col("vec_id"), col("embedding"),
+        scaleRawCol(col("embedding")).as("scaleraw"))
+      .select(col("vec_id"), assignUdf(col("embedding")).as("cidx"),
+        packQ8(qArr(col("embedding"), col("scaleraw"))).as("q"))
+  }
+
+  /** IVF top-k with an INT8 candidate scan: same coarse cells as
+    * [[ivfTopK]], but candidates are scored with the integer cosine over
+    * the quantized store ([[q8IvfStore]]), the per-query top
+    * `rerank × k` survivors are re-scored with the exact float cosine
+    * (point lookups by vec_id — a tiny broadcast join against the float
+    * table), and the final top-k ranks on the exact score. Gated against
+    * the SAME exact-cosine IVF oracle as q_op_ann_ivf, which certifies
+    * the quantized prefilter lost nothing from the true top-k (the
+    * recall contract; `rerank` is the recall knob — a true neighbor is
+    * lost only if quantization noise demotes it below rank rerank·k
+    * among its cell's candidates).
+    *
+    * `store` lets callers pass a materialized (vec_id, cidx, q) parquet
+    * store — the at-scale shape, and what the bytes-scanned measurement
+    * in OpsSpec reads; by default the store is derived inline.
+    */
+  def ivfTopKQ8(emb: DataFrame, queryIds: Seq[Long], k: Int,
+                nCentroids: Int = 8, nProbe: Int = 2, iters: Int = 2,
+                trainN: Long = 256L, rerank: Int = 4,
+                store: Option[DataFrame] = None): DataFrame = {
+    val cents = trainIvfCentroids(emb, nCentroids, trainN, iters)
+    val probeUdf = udf { (v: Seq[Float]) =>
+      probeList(v.toArray.map(_.toDouble), cents, nProbe)
+    }
+    val idx = store.getOrElse(q8IvfStore(emb, nCentroids, iters, trainN))
+    // query side: tiny by contract — quantized the same way, probing its
+    // nProbe nearest cells (outer explode per explodeNN scaladoc)
+    val queries = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("embedding"),
+        scaleRawCol(col("embedding")).as("scaleraw"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        packQ8(qArr(col("embedding"), col("scaleraw"))).as("qq"),
+        explode_outer(probeUdf(col("embedding"))).as("cidx"))
+      .filter(col("cidx").isNotNull)
+    val cand = idx.join(broadcast(queries), Seq("cidx"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qvec"), col("vec_id").as("neighbor_id"),
+        cosineQ8Col(col("qq"), col("q")).as("q8raw"))
+    // quantized prefilter: per-query top rerank·k by the int8 score
+    // (total order — q8raw desc, neighbor_id asc — so the cut is
+    // deterministic)
+    val wq = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("q8raw").desc, col("neighbor_id").asc)
+    val topC = cand.withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= rerank * k)
+    // float rerank of the survivors only: the queries·rerank·k survivor
+    // set broadcasts (point lookups by vec_id at scale — no shuffle of
+    // the float table)
+    val reranked = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(broadcast(topC), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineCol(col("qvec"), col("embedding")).as("cosraw"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("cosraw").desc, col("neighbor_id").asc)
+    reranked.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosraw"), 6).as("cosine"), col("rank"))
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.

@@ -17,6 +17,25 @@ object TextAnalysis {
   def tokensCol(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
 
+  /** Exploding a COMPUTED array column must use the outer variant plus a
+    * null filter on the generator OUTPUT (`explodeNN` below): inner
+    * explode triggers Catalyst's InferFiltersFromGenerate, whose inferred
+    * `size(arr) > 0 AND isnotnull(arr)` pre-filter gets predicate-pushed
+    * through the projections — re-inlining the array's FULL defining
+    * expression into a non-codegen Filter at the scan. For token/shingle
+    * arrays that inlining nests the whole tokenization inside the
+    * per-element lambda (slice(tokenize(text), i, w) evaluated for every
+    * i), turning a linear scan-stage op into a QUADRATIC interpreted one:
+    * measured 6.8 s vs 0.7 s for the identical 260k-row shingle explode
+    * at sf0.1, and ~150 ms/row on a 25-doc table. explode_outer infers no
+    * pre-filter; the cheap isNotNull on the output column restores inner
+    * semantics (outer emits one null row for an empty/null array).
+    */
+  private[ops] def explodeNN(df: DataFrame, keep: Seq[Column],
+                             arr: Column, as: String): DataFrame =
+    df.select(keep :+ explode_outer(arr).as(as): _*)
+      .filter(col(as).isNotNull)
+
   /** Token count per document. */
   def tokenCount(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
@@ -216,15 +235,23 @@ object TextAnalysis {
     * order (raw PMI desc, gram asc).
     */
   def collocations(docs: DataFrame, minCount: Long = 5, k: Int = 50): DataFrame = {
-    val toks = tokensCol(col("text"))
+    // tokens PROJECTED before the gram transform references them: a
+    // multiply-referenced alias survives CollapseProject, so tokenization
+    // runs once per row — inlining tokensCol straight into the lambda
+    // would re-tokenize per gram ELEMENT (quadratic per row, measured
+    // 7.7 s vs 0.9 s on this op at sf0.1)
+    val t = docs.select(tokensCol(col("text")).as("toks"))
+    val toks = col("toks")
     val grams = when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
       .otherwise(transform(sequence(lit(0), size(toks) - 2),
         i => struct(element_at(toks, i + 1).as("w1"),
           element_at(toks, i + 2).as("w2"))))
-    val big = docs.select(explode(grams).as("g"))
+    // outer+null-filter explodes: see explodeNN scaladoc (inner explode's
+    // inferred pre-filter re-inlines the gram lineage quadratically)
+    val big = explodeNN(t, Nil, grams, "g")
       .select(col("g.w1"), col("g.w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
-    val uni = docs.select(explode(toks).as("w"))
+    val uni = explodeNN(t, Nil, toks, "w")
       .groupBy("w").agg(count(lit(1)).as("cu"))
     val n1 = uni.agg(sum("cu").cast("double").as("n1"))
     val n2 = big.agg(sum("cab").cast("double").as("n2"))
@@ -257,13 +284,16 @@ object TextAnalysis {
     */
   def ngramTopK(docs: DataFrame, n: Int = 2, k: Int = 50): DataFrame = {
     require(n >= 1 && k >= 1, s"need n >= 1, k >= 1; got n=$n k=$k")
-    val toks = tokensCol(col("text"))
+    // tokens projected first — see the collocations comment (inlining
+    // tokensCol into the slice lambda re-tokenizes per gram element)
+    val t = docs.select(tokensCol(col("text")).as("toks"))
+    val toks = col("toks")
     // Spark 4 trap: sequence(0, x) FLIPS direction for x < 0, so the
     // short-doc case must short-circuit to an empty array
     val grams = when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-    docs.select(explode(grams).as("gram"))
+    explodeNN(t, Nil, grams, "gram") // see explodeNN scaladoc
       .groupBy("gram").agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("gram").asc)
       .limit(k)
