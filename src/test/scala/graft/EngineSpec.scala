@@ -145,7 +145,8 @@ class EngineSpec extends AnyFunSuite {
       Seq("title" -> 0.3, "body" -> 0.6, "anchor" -> 0.1))
     check(Indri(), QOp.AND, Seq(sdm, sdm2), k = 30)
     check(Indri(), QOp.AND, Seq(mr), k = 30)
-    // shape sanity: reference sdm.txt:1 spelling
-    assert(sdm.startsWith("#weight( 0.8 #and( obama family tree ) 0.1 #and( #near/3( obama family )"))
+    // shape sanity: reference sdm.txt:1 spelling (dm.pl emits bigrams
+    // last-pair-first; GoldensSpec pins all 30 lines byte-for-byte)
+    assert(sdm.startsWith("#weight( 0.8 #and( obama family tree ) 0.1 #and( #near/3( family tree )  #near/3( obama family )"))
   }
 }

@@ -65,21 +65,25 @@ class GoldensSpec extends AnyFunSuite {
     "#uw/10(family tree)", "#and(w7 #near/2(french lick))",
     "#weight(0.2 w8 0.8 #uw/4(obama family))", "#and(the w9)", "w10 w11"))
 
-  def leafTerms(qs: Seq[(String, String)], parser: QueryParser): Set[String] = {
-    def leaves(n: QNode): Seq[String] = n match {
-      case QLeaf(t, _, _)        => Seq(t)
+  def leafPairs(qs: Seq[(String, String)], parser: QueryParser): Set[(String, String)] = {
+    def leaves(n: QNode): Seq[(String, String)] = n match {
+      case QLeaf(t, f, _)        => Seq((t, f))
       case QInner(_, _, kids, _) => kids.flatMap(leaves)
     }
     qs.flatMap { case (_, q) => leaves(parser.parse(q)) }.toSet
   }
 
-  /** Dump every query term's list (real stats) into a .inv tree. */
-  def dumpTree(terms: Set[String]): String = {
+  def leafTerms(qs: Seq[(String, String)], parser: QueryParser): Set[String] =
+    leafPairs(qs, parser).map(_._1)
+
+  /** Dump every query (term, field) list (real stats) into a .inv tree. */
+  def dumpTree(pairs: Set[(String, String)],
+               idx: graft.index.SearchIndex): String = {
     val base = Files.createTempDirectory("goldens-inv").toString
-    terms.toSeq.sorted.foreach { t =>
-      val (df, cf) = dfIndex.termStat(t, "default")
+    pairs.toSeq.sorted.foreach { case (t, f) =>
+      val (df, cf) = idx.termStat(t, f)
       if (df > 0)
-        InvFormat.dump(dfIndex.postings(t, "default"), df, cf, base, t, "default")
+        InvFormat.dump(idx.postings(t, f), df, cf, base, t, f)
     }
     base
   }
@@ -87,9 +91,9 @@ class GoldensSpec extends AnyFunSuite {
   /** Oracle-side reader of the SAME tree: line-level .inv parse →
     * RefOracle.TermIndex (independent of InvIndex's Spark textFile path).
     */
-  def loadTree(base: String, terms: Set[String]): RefOracle.TermIndex =
-    terms.flatMap { t =>
-      val p = Paths.get(InvFormat.fileOf(base, t, "default"))
+  def loadTree(base: String, pairs: Set[(String, String)]): RefOracle.TermIndex =
+    pairs.flatMap { case (t, f) =>
+      val p = Paths.get(InvFormat.fileOf(base, t, f))
       if (!Files.exists(p)) None
       else {
         val lines = scala.io.Source.fromFile(p.toFile).getLines().toList
@@ -98,7 +102,7 @@ class GoldensSpec extends AnyFunSuite {
           RefOracle.OPosting(parts(0).toLong, parts(1).toInt, parts(2).toInt,
             parts.drop(3).map(_.toInt).toList, 0.0)
         }
-        Some((t, "default") -> ps)
+        Some((t, f) -> ps)
       }
     }.toMap
 
@@ -144,8 +148,8 @@ yairs.word.count = ${coll.wordCount}
 
     cases.foreach { case (name, defaultOp, queries, model) =>
       val parser = new QueryParser(defaultOp = QOp.withName(defaultOp.stripPrefix("#")))
-      val terms = leafTerms(queries, parser)
-      val tree = dumpTree(terms)
+      val terms = leafPairs(queries, parser)
+      val tree = dumpTree(terms, dfIndex)
 
       // engine side: the FULL QueryMain --conf pipeline (query file in,
       // TREC run file out) over the tree
@@ -167,6 +171,109 @@ yairs.word.count = ${coll.wordCount}
       }).mkString("", "\n", "\n")
 
       assert(got == expected, s"model $name run file diverged")
+    }
+  }
+
+  // --- exp2: the reference's SDM / mixture-of-representations experiment --
+
+  val exp2Dir = Paths.get("/root/reference/data/exp2")
+
+  def refLines(rel: String): Seq[String] =
+    scala.io.Source.fromFile(exp2Dir.resolve(rel).toFile)
+      .getLines().filter(_.nonEmpty).toSeq
+
+  /** The mr.txt config: anchor 0.1, url 0, body 0, title 0.9 (the
+    * committed mr_1009 weight set — mrgen.java's a/b arrays at that run).
+    */
+  val mrFieldWeights: Seq[(String, Double)] =
+    Seq("anchor" -> 0.1, "url" -> 0.0, "body" -> 0.0, "title" -> 0.9)
+
+  test("exp2 generators reproduce the reference's committed 30-query SDM and MR sets byte-for-byte") {
+    assume(Files.exists(exp2Dir))
+    val raw = refLines("queries.txt").map { l =>
+      val i = l.indexOf(':'); (l.take(i), l.drop(i + 1))
+    }
+    assert(raw.length == 30)
+    val sdmGold = refLines("sdm_mr/sdm.txt")
+    raw.zip(sdmGold).foreach { case ((qid, q), gold) =>
+      assert(s"$qid: ${SdmGen.expand(q)}" == gold,
+        s"sdm line for qid $qid diverged from data/exp2/sdm_mr/sdm.txt")
+    }
+    val mrGold = refLines("sdm_mr/mr.txt")
+    raw.zip(mrGold).foreach { case ((qid, q), gold) =>
+      assert(s"$qid:${SdmGen.mixtureOfFields(q, mrFieldWeights)}" == gold,
+        s"mr line for qid $qid diverged from data/exp2/sdm_mr/mr.txt")
+    }
+  }
+
+  test("exp2 pipeline replay: 30 SDM + 30 MR queries through a dumped multi-field tree, Indri TREC byte-identity") {
+    assume(Files.exists(exp2Dir))
+    import spark.implicits._
+    val raw = refLines("queries.txt").map { l =>
+      val i = l.indexOf(':'); (l.take(i), l.drop(i + 1))
+    }
+    // Fixture with guaranteed coverage: every raw query text is planted
+    // verbatim into 5 docs PER FIELD (coprime-shifted assignment), so
+    // every SDM bigram co-occurs adjacently somewhere and no positional
+    // leaf is collection-empty — the Integer.MIN_VALUE virtual default
+    // (whose 2^31 magnitude makes %.6f summation-order-sensitive; see
+    // the exp1 #near/2 comment) never enters a score.
+    val q = raw.map(_._2)
+    val fieldDocs: Seq[FieldDoc] = (0L until NumDocs).flatMap { i =>
+      val j = i.toInt
+      Seq(
+        FieldDoc(i, "default", s"${SyntheticCorpus.page(i).text} ${q(j % 30)}"),
+        FieldDoc(i, "body", s"${SyntheticCorpus.page(i).text} ${q(j % 30)}"),
+        FieldDoc(i, "title", q((j + 7) % 30)),
+        FieldDoc(i, "anchor", q((j + 1) % 30)),
+        FieldDoc(i, "url", q((j + 13) % 30)))
+    }
+    val idx = IndexBuilder.inMemory(
+      IndexBuilder.buildPostings(spark.createDataset(fieldDocs)))
+    val coll = idx.collStats
+
+    val sdmQueries = raw.map { case (qid, t) => (qid, SdmGen.expand(t)) }
+    val mrQueries = raw.map { case (qid, t) =>
+      (qid, SdmGen.mixtureOfFields(t, mrFieldWeights)) }
+    val parser = new QueryParser(defaultOp = QOp.AND)
+    val work = Files.createTempDirectory("goldens-exp2")
+    val outDir = Files.createDirectories(work.resolve("output")).toString
+
+    Seq(("sdm", sdmQueries), ("mr", mrQueries)).foreach { case (name, queries) =>
+      val tree = dumpTree(leafPairs(queries, parser), idx)
+      val queryFile = work.resolve(s"queries_$name.txt")
+      Files.writeString(queryFile,
+        queries.map { case (qid, qq) => s"$qid:$qq" }.mkString("", "\n", "\n"))
+      val runId = s"exp2-$name"
+      val props = work.resolve(s"$name.properties")
+      Files.writeString(props,
+        s"""yairs.retriever.name = indri
+yairs.indri.lamba = 0.4
+yairs.indri.mu = 2500
+yairs.indri.query.piror = wordBased
+yaris.operator.default = #AND
+yairs.field.default = default
+yairs.run.results.num = 100
+yairs.run.id = $runId
+yairs.query.path = $queryFile
+yairs.output.path = $outDir
+yairs.inv.basename = $tree
+yairs.document.count = ${coll.docCount}
+yairs.document.average.size = ${coll.avgDocLen}
+yairs.vocabulary.size = ${coll.vocabSize}
+yairs.word.count = ${coll.wordCount}
+""")
+      graft.run.QueryMain.run(spark, Array("-", "--conf", props.toString))
+      val got = Files.readString(Paths.get(outDir, runId))
+
+      val oracle = new RefOracle(
+        loadTree(tree, leafPairs(queries, parser)), coll, Indri())
+      val expected = (TrecResult.header +: queries.flatMap { case (qid, qq) =>
+        oracle.search(qq, 100, parser).zipWithIndex.map { case ((d, s), i) =>
+          TrecResult(qid, d, i + 1, s, runId).formatted
+        }
+      }).mkString("", "\n", "\n")
+      assert(got == expected, s"exp2 $name run file diverged")
     }
   }
 }
