@@ -177,6 +177,18 @@ SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM base""")),
        len(regexp_extract_all(lower(text), '${TextAnalysis.BpePattern.replace("'", "''")}'))::BIGINT AS n_bpe_tokens
 FROM documents""")),
 
+    // Real BPE (graft.ops.Bpe): the merge table and the per-doc encoded
+    // counts, each against BpeSql's fully-independent unrolled training
+    // replay — see BpeSql's scaladoc for the faithfulness argument.
+    GateQuery("q_op_bpe_merges",
+      (s, d) => Bpe.mergesDf(s, Bpe.learn(docs(s, d), BpeSql.NumMerges)),
+      Some(BpeSql.mergesSql)),
+
+    GateQuery("q_op_bpe_encode",
+      (s, d) => Bpe.encodedTokenCount(docs(s, d),
+        Bpe.learn(docs(s, d), BpeSql.NumMerges)),
+      Some(BpeSql.encodeSql)),
+
     GateQuery("q_op_quality",
       (s, d) => TextAnalysis.qualityScore(docs(s, d)),
       Some(s"""$tokPrelude
