@@ -7,10 +7,10 @@ import graft.corpus.SyntheticCorpus.mix
 /** Similarity search over an embedding column (array<float>).
   *
   * Baseline: brute-force cosine top-k — a broadcast of the (small) query
-  * set against a full scan of the corpus vectors; the dot product is a
-  * `zip_with`/`aggregate` higher-order expression (codegen, no UDF), and
-  * top-k per query is a window row_number (at real scale: TakeOrdered per
-  * query id after a repartition by query).
+  * set against a full scan of the corpus vectors; the dot product is the
+  * native `cosine_f` codegen expression, and top-k per query is a bounded
+  * partial aggregation ([[TopKAgg]] — the TakeOrdered shape: each map
+  * task ships ≤ k rows per query, never the full candidate set).
   *
   * Scale path: random-hyperplane LSH — each vector hashed to a `nBits`
   * sign bucket; candidate pairs/neighbor lookups only touch same-bucket
@@ -63,6 +63,82 @@ object Similarity {
     */
   private val packQ8 = udf { (q: Seq[Int]) => q.map(_.toByte).toArray }
 
+  /** Bounded per-query top-k accumulator — the TakeOrdered shape for ANN
+    * ranking. The buffer is a best-first (score desc, id asc) vector of
+    * length ≤ k; `reduce` drops a candidate in O(1) when it cannot beat
+    * the current kth. Registered as a udaf it runs as an
+    * ObjectHashAggregate with PARTIAL aggregation: each map task ships at
+    * most k rows per query instead of every candidate, and no per-query
+    * sort of the full candidate set ever happens — unlike the window
+    * `row_number` it replaced, which shuffled ALL candidates to one
+    * partition per query and sorted them there (fine for 5 gate queries;
+    * not for a 100-query batch over a 10⁹-vector corpus). The
+    * (score desc, id asc) order is total (ids are distinct within a
+    * query), so the result is partitioning-invariant.
+    */
+  private class TopKAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Double), Vector[(Double, Long)], Seq[(Double, Long)]] {
+    private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    private def ins(b: Vector[(Double, Long)],
+                    e: (Double, Long)): Vector[(Double, Long)] =
+      if (b.length >= k && !better(e, b(b.length - 1))) b
+      else {
+        val i = b.indexWhere(x => better(e, x)) match {
+          case -1 => b.length
+          case j  => j
+        }
+        val grown = (b.take(i) :+ e) ++ b.drop(i)
+        if (grown.length > k) grown.take(k) else grown
+      }
+    def zero: Vector[(Double, Long)] = Vector.empty
+    def reduce(b: Vector[(Double, Long)],
+               in: (Long, Double)): Vector[(Double, Long)] =
+      ins(b, (in._2, in._1))
+    def merge(x: Vector[(Double, Long)],
+              y: Vector[(Double, Long)]): Vector[(Double, Long)] =
+      y.foldLeft(x)(ins)
+    def finish(b: Vector[(Double, Long)]): Seq[(Double, Long)] = b
+    def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Vector[(Double, Long)]]()
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
+  /** Per-query top-k of a (query_id, neighbor_id, cosraw) candidate frame
+    * via [[TopKAgg]]. Ranks on the RAW score (matching the oracle's ORDER
+    * BY); rounds only the projected column — two raw values rounding
+    * equal must not be allowed to swap ranks vs the oracle.
+    */
+  private def topKPerQuery(cand: DataFrame, k: Int): DataFrame = {
+    val agg = udaf(new TopKAgg(k),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Long, Double)]())
+    cand.groupBy("query_id")
+      .agg(agg(col("neighbor_id"), col("cosraw")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col._2").as("neighbor_id"),
+        round(col("col._1"), 6).as("cosine"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Survivor ids only — the prefilter variant of [[topKPerQuery]]:
+    * (query_id, neighbor_id) of each query's top `k` by `scoreCol`.
+    */
+  private def topIdsPerQuery(cand: DataFrame, scoreCol: String,
+                             k: Int): DataFrame = {
+    val agg = udaf(new TopKAgg(k),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Long, Double)]())
+    cand.groupBy("query_id")
+      .agg(agg(col("neighbor_id"), col(scoreCol)).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e._2").as("neighbor_id"))
+  }
+
   /** Brute-force cosine top-k: for each query vector (vec_id in queryIds),
     * the k nearest other vectors. Ties break by neighbor id ascending.
     */
@@ -73,14 +149,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosineCol(col("qvec"), col("embedding")).as("cosraw"))
-    // rank by the RAW cosine (matching the oracle's ORDER BY); round only
-    // the projected column — two raw values rounding equal must not be
-    // allowed to swap ranks vs the oracle
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-      .orderBy(col("cosraw").desc, col("neighbor_id").asc)
-    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cosraw"), 6).as("cosine"), col("rank"))
+    topKPerQuery(joined, k)
   }
 
   /** Deterministic random-hyperplane sign signatures: `nTables`
@@ -160,11 +229,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosineCol(col("qvec"), col("embedding")).as("cosraw"))
       .distinct()
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-      .orderBy(col("cosraw").desc, col("neighbor_id").asc)
-    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cosraw"), 6).as("cosine"), col("rank"))
+    topKPerQuery(joined, k)
   }
 
   /** Deterministic k-means centroids for IVF, trained DRIVER-SIDE on a
@@ -267,11 +332,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosineCol(col("qvec"), col("embedding")).as("cosraw"))
       .distinct()
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-      .orderBy(col("cosraw").desc, col("neighbor_id").asc)
-    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cosraw"), 6).as("cosine"), col("rank"))
+    topKPerQuery(joined, k)
   }
 
   /** Symmetric per-vector int8 quantization — the storage format of a
@@ -346,27 +407,23 @@ object Similarity {
       .filter(col("cidx").isNotNull)
     val cand = idx.join(broadcast(queries), Seq("cidx"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qvec"), col("vec_id").as("neighbor_id"),
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosineQ8Col(col("qq"), col("q")).as("q8raw"))
     // quantized prefilter: per-query top rerank·k by the int8 score
     // (total order — q8raw desc, neighbor_id asc — so the cut is
-    // deterministic)
-    val wq = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-      .orderBy(col("q8raw").desc, col("neighbor_id").asc)
-    val topC = cand.withColumn("qrank", row_number().over(wq))
-      .filter(col("qrank") <= rerank * k)
+    // deterministic); TakeOrdered-shaped like the final rank, so the
+    // shuffle carries ≤ rerank·k rows per map task per query
+    val topC = topIdsPerQuery(cand, "q8raw", rerank * k)
     // float rerank of the survivors only: the queries·rerank·k survivor
     // set broadcasts (point lookups by vec_id at scale — no shuffle of
-    // the float table)
+    // the float table); qvec re-attaches from the tiny query set
+    val qvecs = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val reranked = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
-      .join(broadcast(topC), Seq("neighbor_id"))
+      .join(broadcast(topC.join(qvecs, Seq("query_id"))), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineCol(col("qvec"), col("embedding")).as("cosraw"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-      .orderBy(col("cosraw").desc, col("neighbor_id").asc)
-    reranked.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cosraw"), 6).as("cosine"), col("rank"))
+    topKPerQuery(reranked, k)
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
