@@ -304,22 +304,47 @@ object Dedup {
     * (shingleArrays) — signature generation is SHUFFLE-FREE; the only
     * exchanges in minhashLsh are the banding join itself.
     */
+  /** The signature kernel shared by the batch UDF and the streaming
+    * row-at-a-time path ([[minhashSigLocal]]) — one definition, so the
+    * two can never drift.
+    */
+  private[graft] def sigFromShingles(shs: Seq[String],
+                                     numHashes: Int): Array[Long] = {
+    val base = shs.map(s => hash64(s, 0L)).toArray
+    Array.tabulate(numHashes) { i =>
+      val seed = mix(i.toLong + 1)
+      var m = Long.MaxValue
+      var j = 0
+      while (j < base.length) {
+        val v = mix(base(j) ^ seed)
+        if (v < m) m = v
+        j += 1
+      }
+      m
+    }
+  }
+
+  /** Pure-Scala twin of [[minhashSignatures]] for row-at-a-time callers
+    * (the streaming near-dup): same tokenization as `tokensCol`
+    * (lowercase, split non-alnum, drop empties — Locale.ROOT so the
+    * JVM default locale can't bend the casing), same <w-token collapse
+    * and distinct-shingle set as [[shingleArrays]], same hash formula
+    * ([[sigFromShingles]]). Equivalence is pinned by StreamingMinhashSpec
+    * against the batch pipeline on the same corpus.
+    */
+  def minhashSigLocal(text: String, w: Int = 3,
+                      numHashes: Int = 32): Array[Long] = {
+    val toks = text.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty)
+    val shs: Seq[String] =
+      if (toks.length < w) Seq(toks.mkString(" "))
+      else toks.sliding(w).map(_.mkString(" ")).toVector.distinct
+    sigFromShingles(shs, numHashes)
+  }
+
   def minhashSignatures(docs: DataFrame, w: Int = 3,
                         numHashes: Int = 32): DataFrame = {
-    val sigUdf = udf { (shs: Seq[String]) =>
-      val base = shs.map(s => hash64(s, 0L)).toArray
-      Array.tabulate(numHashes) { i =>
-        val seed = mix(i.toLong + 1)
-        var m = Long.MaxValue
-        var j = 0
-        while (j < base.length) {
-          val v = mix(base(j) ^ seed)
-          if (v < m) m = v
-          j += 1
-        }
-        m
-      }
-    }
+    val sigUdf = udf { (shs: Seq[String]) => sigFromShingles(shs, numHashes) }
     shingleArrays(docs, w)
       .select(col("doc_id"), sigUdf(col("shs")).as("sig"))
   }
