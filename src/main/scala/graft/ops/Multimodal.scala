@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   * over mapInPandas: one JVM-side pass per partition, vectorizable batch
   * shape, no per-row driver involvement).
   *
-  * Decode: THREE real formats are implemented, all pure JVM with no
+  * Decode: FOUR real formats are implemented, all pure JVM with no
   * external libs — uncompressed 24/32-bit BMP (`decodeBmp`), 8-bit
   * non-interlaced PNG (`decodePng`, zlib via `java.util.zip.Inflater`,
-  * full scanline unfiltering), and RIFF/WAVE integer PCM audio
+  * full scanline unfiltering), baseline JFIF/JPEG (`decodeJpeg`:
+  * marker walk, canonical Huffman entropy decode, dequantization,
+  * 8×8 IDCT of the luma plane), and RIFF/WAVE integer PCM audio
   * (`decodeWav`) — and every other payload falls back to `decodeStub`,
-  * a deterministic fake (no JPEG/Opus/video codecs ship in this
+  * a deterministic fake (no Opus/video codecs ship in this
   * container). Schema, binary transport, partition batching and feature
   * shape are identical on all paths, so further real decoders drop into
   * the same seam without touching the plumbing.
@@ -25,7 +27,7 @@ object Multimodal {
                        channels: Int, features: Array[Float])
 
   /** Deterministic fake decode: metadata from byte length, features from
-    * a strided byte sample (stands in for `???` — a real JPEG/PNG decode).
+    * a strided byte sample (stands in for `???` — a real Opus/video decode).
     */
   def decodeStub(id: Long, bytes: Array[Byte], featDim: Int): MediaMeta = {
     val n = bytes.length
@@ -208,6 +210,308 @@ object Multimodal {
     Some(MediaMeta(id, bytes.length, width, height, channels, feats))
   }
 
+  /** Real decode of baseline JFIF/JPEG — pure JVM: marker segment walk
+    * (SOI/APPn/DQT/SOF0/DHT/DRI/SOS/EOI), canonical Huffman entropy
+    * decode with byte-stuffing and restart-marker handling, 8-bit
+    * dequantization, inverse zigzag, and a separable float 8×8 IDCT of
+    * the LUMA component only (chroma blocks are fully entropy-decoded to
+    * keep the bitstream aligned, then discarded — the feature is an
+    * intensity statistic and Y is full-resolution under 4:2:0/4:2:2).
+    *
+    * Strictly baseline: SOF0, 8-bit precision, 1 or 3 components, Y at
+    * full sampling resolution, all Huffman/quant tables present, every
+    * MCU decodes, EOI terminates the scan. Anything else — progressive
+    * (SOF2), arithmetic coding, 12-bit, truncated entropy data, a
+    * missing table, dimensions whose luma plane would exceed the 64 MB
+    * decode cap — returns None and falls back to the stub, never fails
+    * the partition.
+    *
+    * Features: as decodeBmp/decodePng — mean luma of one sampled row per
+    * horizontal band, top to bottom, in [0, 1].
+    */
+  def decodeJpeg(id: Long, bytes: Array[Byte], featDim: Int): Option[MediaMeta] = {
+    final class Bail extends RuntimeException
+    def bail(): Nothing = throw new Bail
+    def u8(o: Int): Int = { if (o >= bytes.length) bail(); bytes(o) & 0xFF }
+    def u16be(o: Int): Int = (u8(o) << 8) | u8(o + 1)
+    if (bytes.length < 4 || u8(0) != 0xFF || u8(1) != 0xD8) return None
+    try {
+      // ---- segment walk up to SOS ----------------------------------
+      val qt = Array.ofDim[Int](4, 64)          // dequant tables (natural order index via zigzag)
+      val qtSeen = new Array[Boolean](4)
+      // Huffman tables: (class 0=DC,1=AC)(id 0..3) → (mincode, maxcode, valptr, vals)
+      val hMin = Array.ofDim[Int](2, 4, 17)
+      val hMax = Array.ofDim[Int](2, 4, 17)
+      val hPtr = Array.ofDim[Int](2, 4, 17)
+      val hVal = Array.ofDim[Array[Int]](2, 4)
+      var width = 0; var height = 0; var nComp = 0
+      val compH = new Array[Int](3); val compV = new Array[Int](3)
+      val compTq = new Array[Int](3); val compId = new Array[Int](3)
+      var dri = 0
+      var pos = 2
+      var sawSof = false
+      var sosAt = -1
+      val scanDc = new Array[Int](3); val scanAc = new Array[Int](3)
+      var nScan = 0; val scanComp = new Array[Int](3) // index into SOF comps
+      while (sosAt < 0) {
+        if (u8(pos) != 0xFF) bail()
+        var m = u8(pos + 1)
+        while (m == 0xFF) { pos += 1; m = u8(pos + 1) } // fill bytes
+        pos += 2
+        if (m == 0xD9) bail()                    // EOI before SOS
+        if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) {
+          // standalone markers, no length — nothing to do
+        } else {
+          val len = u16be(pos)
+          if (len < 2 || pos + len > bytes.length) bail()
+          val end = pos + len
+          m match {
+            case 0xDB => // DQT: one or more tables
+              var o = pos + 2
+              while (o < end) {
+                val pq = u8(o) >> 4; val tq = u8(o) & 0x0F
+                if (pq != 0 || tq > 3 || o + 65 > end) bail() // 8-bit only
+                var k = 0
+                while (k < 64) { qt(tq)(k) = u8(o + 1 + k); k += 1 }
+                qtSeen(tq) = true
+                o += 65
+              }
+            case 0xC0 => // SOF0 baseline
+              if (sawSof) bail()
+              if (u8(pos + 2) != 8) bail()       // precision
+              height = u16be(pos + 3); width = u16be(pos + 5)
+              nComp = u8(pos + 7)
+              if ((nComp != 1 && nComp != 3) || width <= 0 || height <= 0 ||
+                  pos + 8 + 3 * nComp > end) bail()
+              var c = 0
+              while (c < nComp) {
+                compId(c) = u8(pos + 8 + 3 * c)
+                val hv = u8(pos + 9 + 3 * c)
+                compH(c) = hv >> 4; compV(c) = hv & 0x0F
+                compTq(c) = u8(pos + 10 + 3 * c)
+                if (compH(c) < 1 || compH(c) > 4 || compV(c) < 1 ||
+                    compV(c) > 4 || compTq(c) > 3) bail()
+                c += 1
+              }
+              sawSof = true
+            case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
+                 0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
+              bail()                             // non-baseline SOF
+            case 0xC4 => // DHT: one or more tables
+              var o = pos + 2
+              while (o < end) {
+                val tc = u8(o) >> 4; val th = u8(o) & 0x0F
+                if (tc > 1 || th > 3 || o + 17 > end) bail()
+                val counts = Array.tabulate(16)(i => u8(o + 1 + i))
+                val total = counts.sum
+                if (total > 256 || o + 17 + total > end) bail()
+                val vals = Array.tabulate(total)(i => u8(o + 17 + i))
+                var code = 0; var k = 0; var l = 1
+                while (l <= 16) {
+                  hPtr(tc)(th)(l) = k; hMin(tc)(th)(l) = code
+                  code += counts(l - 1); k += counts(l - 1)
+                  hMax(tc)(th)(l) = if (counts(l - 1) > 0) code - 1 else -1
+                  if (code > (1 << l)) bail()    // over-subscribed table
+                  code <<= 1
+                  l += 1
+                }
+                hVal(tc)(th) = vals
+                o += 17 + total
+              }
+            case 0xDD => // DRI
+              if (len != 4) bail()
+              dri = u16be(pos + 2)
+            case 0xDA => // SOS
+              if (!sawSof) bail()
+              nScan = u8(pos + 2)
+              if (nScan != nComp || pos + 3 + 2 * nScan + 3 > end) bail()
+              var s = 0
+              while (s < nScan) {
+                val cid = u8(pos + 3 + 2 * s)
+                val ci = compId.indexWhere(_ == cid)
+                if (ci < 0 || ci >= nComp) bail()
+                scanComp(s) = ci
+                scanDc(s) = u8(pos + 4 + 2 * s) >> 4
+                scanAc(s) = u8(pos + 4 + 2 * s) & 0x0F
+                if (scanDc(s) > 3 || scanAc(s) > 3 ||
+                    hVal(0)(scanDc(s)) == null || hVal(1)(scanAc(s)) == null ||
+                    !qtSeen(compTq(ci))) bail()
+                s += 1
+              }
+              val o = pos + 3 + 2 * nScan
+              if (u8(o) != 0 || u8(o + 1) != 63 || u8(o + 2) != 0) bail() // baseline spectral range
+              sosAt = end
+            case _ => // APPn / COM / other: skip
+          }
+          pos = end
+        }
+      }
+      // ---- geometry ------------------------------------------------
+      var hmax = 1; var vmax = 1
+      var c = 0
+      while (c < nComp) {
+        hmax = math.max(hmax, compH(c)); vmax = math.max(vmax, compV(c))
+        c += 1
+      }
+      // luma must be full-resolution (true of every JFIF in the wild);
+      // otherwise the feature row-sampling below would need resampling
+      if (compH(0) != hmax || compV(0) != vmax) bail()
+      val mcuW = 8 * hmax; val mcuH = 8 * vmax
+      val mcusX = (width + mcuW - 1) / mcuW
+      val mcusY = (height + mcuH - 1) / mcuH
+      val yStride = mcusX * mcuW
+      val yRows = mcusY * mcuH
+      if (yStride.toLong * yRows > (64L << 20)) bail() // decode cap
+      val yPlane = new Array[Byte](yStride * yRows)
+      // ---- entropy decode ------------------------------------------
+      var ep = sosAt                              // entropy-coded segment cursor
+      var bitBuf = 0; var bitCnt = 0
+      def nextBit(): Int = {
+        if (bitCnt == 0) {
+          val b = u8(ep); ep += 1
+          if (b == 0xFF) {
+            val b2 = u8(ep)
+            if (b2 == 0x00) ep += 1              // stuffed byte
+            else bail()                          // marker mid-entropy-data
+          }
+          bitBuf = b; bitCnt = 8
+        }
+        bitCnt -= 1
+        (bitBuf >> bitCnt) & 1
+      }
+      def huffDecode(tc: Int, th: Int): Int = {
+        var code = 0; var l = 1
+        while (l <= 16) {
+          code = (code << 1) | nextBit()
+          if (hMax(tc)(th)(l) >= 0 && code <= hMax(tc)(th)(l))
+            return hVal(tc)(th)(hPtr(tc)(th)(l) + code - hMin(tc)(th)(l))
+          l += 1
+        }
+        bail()
+      }
+      def receiveExtend(t: Int): Int = {
+        if (t == 0) return 0
+        if (t > 15) bail()
+        var v = 0; var i = 0
+        while (i < t) { v = (v << 1) | nextBit(); i += 1 }
+        if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+      }
+      // IDCT basis: cos((2x+1)·u·π/16) · C(u)/2, precomputed 8×8
+      val basis = Array.tabulate(8, 8) { (x, u) =>
+        val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+        0.5 * cu * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+      }
+      val zigzag = Array(
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+      val coef = new Array[Int](64)               // natural-order dequantized block
+      val tmp = new Array[Double](64)
+      val dcPred = new Array[Int](3)
+      def decodeBlock(s: Int, store: Boolean, x0: Int, y0: Int): Unit = {
+        val ci = scanComp(s)
+        val q = qt(compTq(ci))
+        java.util.Arrays.fill(coef, 0)
+        val t = huffDecode(0, scanDc(s))
+        dcPred(ci) += receiveExtend(t)
+        coef(0) = dcPred(ci) * q(0)
+        var k = 1
+        while (k < 64) {
+          val rs = huffDecode(1, scanAc(s))
+          val r = rs >> 4; val sz = rs & 0x0F
+          if (sz == 0) {
+            if (r == 15) k += 16                  // ZRL
+            else k = 64                           // EOB
+          } else {
+            k += r
+            if (k > 63) bail()
+            coef(zigzag(k)) = receiveExtend(sz) * q(k)
+            k += 1
+          }
+        }
+        if (store) {
+          // separable IDCT: rows then columns
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              var acc = 0.0
+              var u = 0
+              while (u < 8) { acc += basis(x)(u) * coef(y * 8 + u); u += 1 }
+              tmp(y * 8 + x) = acc
+              x += 1
+            }
+            y += 1
+          }
+          var x = 0
+          while (x < 8) {
+            var yy = 0
+            while (yy < 8) {
+              var acc = 0.0
+              var v = 0
+              while (v < 8) { acc += basis(yy)(v) * tmp(v * 8 + x); v += 1 }
+              val px = math.max(0, math.min(255, math.round(acc + 128).toInt))
+              val gy = y0 + yy; val gx = x0 + x
+              yPlane(gy * yStride + gx) = px.toByte
+              yy += 1
+            }
+            x += 1
+          }
+        }
+      }
+      var mcu = 0
+      val nMcus = mcusX * mcusY
+      var rstIdx = 0
+      while (mcu < nMcus) {
+        if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+          bitCnt = 0                              // restart: byte-align
+          if (u8(ep) != 0xFF || u8(ep + 1) != (0xD0 + rstIdx)) bail()
+          ep += 2
+          rstIdx = (rstIdx + 1) % 8
+          java.util.Arrays.fill(dcPred, 0)
+        }
+        val mx = mcu % mcusX; val my = mcu / mcusX
+        var s = 0
+        while (s < nScan) {
+          val ci = scanComp(s)
+          var by = 0
+          while (by < compV(ci)) {
+            var bx = 0
+            while (bx < compH(ci)) {
+              decodeBlock(s, store = ci == 0,
+                mx * mcuW + bx * 8, my * mcuH + by * 8)
+              bx += 1
+            }
+            by += 1
+          }
+          s += 1
+        }
+        mcu += 1
+      }
+      // scan must terminate in EOI (optional fill bytes allowed)
+      bitCnt = 0
+      if (u8(ep) != 0xFF) bail()
+      var em = u8(ep + 1)
+      while (em == 0xFF) { ep += 1; em = u8(ep + 1) }
+      if (em != 0xD9) bail()
+      // ---- features ------------------------------------------------
+      val feats = new Array[Float](featDim)
+      var f = 0
+      while (f < featDim) {
+        val r = (f.toLong * height / featDim).toInt
+        var sum = 0L
+        var x = 0
+        while (x < width) { sum += (yPlane(r * yStride + x) & 0xFF); x += 1 }
+        feats(f) = (sum.toDouble / width / 255.0).toFloat
+        f += 1
+      }
+      Some(MediaMeta(id, bytes.length, width, height, nComp, feats))
+    } catch {
+      case _: Bail | _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
   /** Real decode of a second modality: RIFF/WAVE PCM audio (8- or 16-bit
     * integer PCM, the `fmt ` + `data` chunk layout). Returns None for
     * anything else — validation is strict (magic, chunk walk bounded by
@@ -281,8 +585,8 @@ object Multimodal {
   }
 
   /** (doc_id, payload binary) → typed metadata + feature vector, one
-    * partition-local batch pass. Real BMP / WAV decode when the payload
-    * is one; deterministic stub otherwise.
+    * partition-local batch pass. Real BMP / PNG / JPEG / WAV decode when
+    * the payload is one; deterministic stub otherwise.
     */
   def extract(media: DataFrame, featDim: Int = 8): Dataset[MediaMeta] = {
     val spark = media.sparkSession
@@ -295,6 +599,7 @@ object Multimodal {
         // stub, never fail the partition
         scala.util.Try(decodeBmp(id, b, featDim)).toOption.flatten
           .orElse(scala.util.Try(decodePng(id, b, featDim)).toOption.flatten)
+          .orElse(scala.util.Try(decodeJpeg(id, b, featDim)).toOption.flatten)
           .orElse(scala.util.Try(decodeWav(id, b, featDim)).toOption.flatten)
           .getOrElse(decodeStub(id, b, featDim))
       })

@@ -392,17 +392,38 @@ class Engine(val index: SearchIndex, val model: Model,
       }
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+      var wedged = false
       try {
         implicit val ec: scala.concurrent.ExecutionContext =
           scala.concurrent.ExecutionContext.fromExecutorService(pool)
         val futs = queries.map { case (qid, q) =>
-          scala.concurrent.Future(rowsOf(qid, q))
+          qid -> scala.concurrent.Future(rowsOf(qid, q))
         }
-        val out = futs.flatMap(f =>
-          scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+        // bounded wait: a wedged executor pool must surface as an error
+        // naming the stuck query, not hang the driver forever
+        val out = futs.flatMap { case (qid, f) =>
+          try scala.concurrent.Await.result(f, perQueryTimeout)
+          catch {
+            case _: java.util.concurrent.TimeoutException =>
+              wedged = true
+              throw new RuntimeException(
+                s"query '$qid' exceeded $perQueryTimeout — executor pool wedged?")
+          }
+        }
         releaseCaches()
         out
-      } finally pool.shutdown()
+      } finally if (wedged) pool.shutdownNow() else pool.shutdown()
     }
   }
+
+  /** Upper bound on one query's wall inside [[searchAll]]'s parallel path —
+    * generous (a cold 100 TB-scale query legitimately runs minutes), but
+    * finite, so an executor-pool hang fails loudly instead of blocking
+    * `Await` forever. Override via `graft.query.timeout.sec` when a
+    * deployment's worst-case query is slower.
+    */
+  private def perQueryTimeout: scala.concurrent.duration.Duration =
+    scala.concurrent.duration.Duration(
+      sys.props.getOrElse("graft.query.timeout.sec", "3600").toLong,
+      java.util.concurrent.TimeUnit.SECONDS)
 }

@@ -436,6 +436,78 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeWav(1L, "RIFFnot really audio content here".getBytes, 2).isEmpty)
   }
 
+  test("multimodal decode: a real baseline JPEG decodes via Huffman + IDCT") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    // fixture: the JDK's own JPEG encoder (real JFIF output — SOI/APP0/
+    // DQT/SOF0/DHT/SOS/EOI with byte stuffing); the JDK decoder is then
+    // an INDEPENDENT oracle for the band features
+    def encode(img: BufferedImage): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, "jpg", baos), "JDK JPEG writer unavailable")
+      baos.toByteArray
+    }
+    def bandMeans(lumaAt: (Int, Int) => Double, w: Int, h: Int,
+                  featDim: Int): Array[Double] =
+      Array.tabulate(featDim) { f =>
+        val r = (f.toLong * h / featDim).toInt
+        (0 until w).map(x => lumaAt(x, r)).sum / w / 255.0
+      }
+
+    // --- grayscale: single-component scan, luma is exact -------------
+    val gw = 64; val gh = 48
+    val gray = new BufferedImage(gw, gh, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until gh; x <- 0 until gw) {
+      val v = (x * 4 + y * 3 + (if ((x / 8 + y / 8) % 2 == 0) 40 else 0)) % 256
+      gray.getRaster.setSample(x, y, 0, v)
+    }
+    val gBytes = encode(gray)
+    val gm = Multimodal.decodeJpeg(11L, gBytes, featDim = 6).get
+    assert(gm.width == gw && gm.height == gh && gm.channels == 1)
+    val gOracle = ImageIO.read(new java.io.ByteArrayInputStream(gBytes))
+    val gExp = bandMeans((x, y) => gOracle.getRaster.getSample(x, y, 0),
+      gw, gh, 6)
+    for (f <- 0 until 6)
+      assert(math.abs(gm.features(f) - gExp(f)) < 0.01,
+        s"gray band $f: ${gm.features(f)} vs ${gExp(f)}")
+
+    // --- RGB: 3-component interleaved scan (chroma decoded + discarded);
+    // oracle luma via the JPEG Y formula over the JDK's decoded RGB
+    // (YCbCr→RGB→Y round trip, so a slightly looser tolerance)
+    val cw = 40; val chh = 32
+    val rgb = new BufferedImage(cw, chh, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until chh; x <- 0 until cw)
+      rgb.setRGB(x, y, ((x * 6 % 256) << 16) | ((y * 7 % 256) << 8) |
+        ((x + y) * 3 % 256))
+    val cBytes = encode(rgb)
+    val cm = Multimodal.decodeJpeg(12L, cBytes, featDim = 4).get
+    assert(cm.width == cw && cm.height == chh && cm.channels == 3)
+    val cOracle = ImageIO.read(new java.io.ByteArrayInputStream(cBytes))
+    val cExp = bandMeans({ (x, y) =>
+      val p = cOracle.getRGB(x, y)
+      0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) +
+        0.114 * (p & 0xFF)
+    }, cw, chh, 4)
+    for (f <- 0 until 4)
+      assert(math.abs(cm.features(f) - cExp(f)) < 0.02,
+        s"rgb band $f: ${cm.features(f)} vs ${cExp(f)}")
+
+    // through the Spark plumbing → real-decode path (not the stub)
+    val media = spark.createDataset(Seq((11L, gBytes))).toDF("doc_id", "payload")
+    val via = Multimodal.extract(media, featDim = 6).collect()(0)
+    assert(via.width == gw && via.height == gh && via.channels == 1)
+
+    // strictness: progressive (SOF2), truncation, and text all reject
+    val prog = gBytes.clone()
+    val sofAt = prog.indices.find(i => (prog(i) & 0xFF) == 0xFF &&
+      i + 1 < prog.length && (prog(i + 1) & 0xFF) == 0xC0).get
+    prog(sofAt + 1) = 0xC2.toByte
+    assert(Multimodal.decodeJpeg(1L, prog, 4).isEmpty)
+    assert(Multimodal.decodeJpeg(1L, gBytes.take(gBytes.length / 2), 4).isEmpty)
+    assert(Multimodal.decodeJpeg(1L,
+      "ÿØnot actually a jpeg payload".getBytes("ISO-8859-1"), 4).isEmpty)
+  }
+
   test("duplicateClusters: components via label propagation, multi-round chains") {
     import spark.implicits._
     // chain 1-2-3-4-5 (diameter 4 — forces several propagation rounds),
