@@ -228,11 +228,15 @@ object TextAnalysis {
     * counts; `minCount` floors the bigram count (PMI of rare pairs is
     * noise). The arithmetic shape (each division and multiplication in
     * this exact order) is mirrored in the oracle so the 6dp-rounded
-    * values are bit-reproducible. Plan at scale: two counting groupBys
-    * (map-side combined), the unigram table joined onto bigrams twice
-    * (broadcast when vocabulary fits, shuffle otherwise — Spark's
-    * choice), single-row totals broadcast, TakeOrdered on the total
-    * order (raw PMI desc, gram asc).
+    * values are bit-reproducible. Plan at scale: ONE corpus pass — a
+    * combined unigram+bigram gram array per row, one explode, one
+    * counting groupBy (map-side combined; key space = unigram vocab +
+    * bigram vocab, the same shuffle bytes the two separate groupBys
+    * paid) — persisted so the totals aggregation and the two
+    * bigram↔unigram joins read the counted table (gram-vocab-sized,
+    * orders of magnitude below the corpus) instead of re-tokenizing the
+    * corpus once per consumer; single-row totals broadcast, TakeOrdered
+    * on the total order (raw PMI desc, gram asc).
     */
   def collocations(docs: DataFrame, minCount: Long = 5, k: Int = 50): DataFrame = {
     // tokens PROJECTED before the gram transform references them: a
@@ -242,17 +246,26 @@ object TextAnalysis {
     // 7.7 s vs 0.9 s on this op at sf0.1)
     val t = docs.select(tokensCol(col("text")).as("toks"))
     val toks = col("toks")
-    val grams = when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+    // unigrams ride as (w1, null); bigrams as (w1, w2) — one array, one
+    // explode, one shuffle, and groupBy's null-safe grouping splits them
+    // back apart for free
+    val unis = transform(toks,
+      w => struct(w.as("w1"), lit(null).cast("string").as("w2")))
+    val bigs = when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
       .otherwise(transform(sequence(lit(0), size(toks) - 2),
         i => struct(element_at(toks, i + 1).as("w1"),
           element_at(toks, i + 2).as("w2"))))
     // outer+null-filter explodes: see explodeNN scaladoc (inner explode's
     // inferred pre-filter re-inlines the gram lineage quadratically)
-    val big = explodeNN(t, Nil, grams, "g")
-      .select(col("g.w1"), col("g.w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
-    val uni = explodeNN(t, Nil, toks, "w")
-      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val counts = OpScratch.track(
+      explodeNN(t, Nil, concat(unis, bigs), "g")
+        .select(col("g.w1"), col("g.w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+        .persist())
+    val big = counts.filter(col("w2").isNotNull)
+      .select(col("w1"), col("w2"), col("c").as("cab"))
+    val uni = counts.filter(col("w2").isNull)
+      .select(col("w1").as("w"), col("c").as("cu"))
     val n1 = uni.agg(sum("cu").cast("double").as("n1"))
     val n2 = big.agg(sum("cab").cast("double").as("n2"))
     val joined = big
