@@ -393,6 +393,16 @@ object Bench {
       buildThroughput(exLo, numDocs, block(loBlock), remainS <= 0, samplesLo += _)
     if (remainS > -60 || (nz(samplesHi) < 2 && hardRemainS > 0))
       buildThroughput(exHi, numDocs, block(hiBlock), remainS <= 0, samplesHi += _)
+    // second-sample rescue (MANDATORY, bounded): a B block whose sample
+    // DIED records 0.0 and the level still testifies on one sample — r5's
+    // first campaign shipped samples_lo [6989.2, 0.0] and a degraded flag
+    // exactly this way. A failed retry is not a retry: loop (≤2 per
+    // level) until each level holds ≥2 nonzero samples or the hard
+    // ceiling closes.
+    for (level <- Seq((exLo, samplesLo), (exHi, samplesHi));
+         _ <- 1 to 2
+         if nz(level._2) < 2 && hardRemainS > 0)
+      buildThroughput(level._1, numDocs, 1, skipWarmup = true, level._2 += _)
     val thruLo = if (nz(samplesLo) > 0) samplesLo.max else 0.0
     var thruHi = if (nz(samplesHi) > 0) samplesHi.max else 0.0
     // trough rescue (MANDATORY, up to 2 extra samples): 4N executors
