@@ -466,7 +466,7 @@ object Bench {
     // concurrent job submission overlaps per-query scheduling latency
     val trecWall = timedOrNeg {
       engine.searchAll(benchQueries.zipWithIndex.map { case (q, i) =>
-        (i.toString, q) }, 100, parser, "bench", parallelism = 4)
+        (i.toString, q) }, 100, parser, "bench", parallelism = 8)
     }
 
     // --- gate queries on the sf tables ------------------------------------

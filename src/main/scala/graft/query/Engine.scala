@@ -379,6 +379,12 @@ class Engine(val index: SearchIndex, val model: Model,
   def searchAll(queries: Seq[(String, String)], numResults: Int,
                 parser: QueryParser, runId: String,
                 parallelism: Int = 1): Seq[graft.model.TrecResult] = {
+    // one pruned stats scan resolves every (term, field) of the whole
+    // batch up front — each per-query search() then finds the stat cache
+    // warm and schedules no stats job (30 queries = 30 fewer tiny jobs;
+    // at cluster scale those are pure scheduler round-trips)
+    index.prefetchStats(queries.flatMap { case (_, q) =>
+      collectLeaves(parser.parse(q)) })
     def rowsOf(qid: String, q: String): Seq[graft.model.TrecResult] =
       search(q, numResults, parser).collect().toSeq.map { r =>
         graft.model.TrecResult(qid, r.getAs[Long]("docId"),
