@@ -485,8 +485,17 @@ class ParquetIndex(spark: SparkSession, dir: String, termBuckets: Int)
     extends SearchIndex {
 
   private lazy val termstatsDf = spark.read.parquet(s"$dir/termstats")
-  /** Stores written before the tb partition column existed stay readable. */
-  private lazy val termstatsHasTb = termstatsDf.columns.contains("tb")
+  /** Stores written before the tb partition column existed stay readable.
+    * Detected from the directory layout, NOT the DataFrame schema —
+    * forcing `termstatsDf` costs a schema-inference job, and the
+    * driver-local stats path exists to schedule zero jobs.
+    */
+  private lazy val termstatsHasTb: Boolean = try {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/termstats")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(f =>
+      f.isDirectory && f.getPath.getName.startsWith("tb="))
+  } catch { case _: Throwable => termstatsDf.columns.contains("tb") }
   lazy val segmentsDf: DataFrame = spark.read.parquet(s"$dir/segments")
 
   private val statCache =
@@ -530,20 +539,84 @@ class ParquetIndex(spark: SparkSession, dir: String, termBuckets: Int)
       .toDF("docId", "tf", "dl", "positions")
   }
 
-  def termStat(term: String, field: String): (Long, Long) =
-    statCache.getOrElseUpdate((term, field), {
-      val pruned = if (termstatsHasTb)
-        termstatsDf.filter(col("tb") === tbOf(term)) else termstatsDf
-      val rows = pruned
-        .filter(col("term") === term && col("field") === field)
-        .select("df", "cf").collect()
-      if (rows.isEmpty) (0L, 0L) else (rows(0).getLong(0), rows(0).getLong(1))
-    })
+  /** tb partitions already pulled into `statCache` via the driver-local
+    * parquet path (a loaded tb means every (term, field) it holds is
+    * cached; anything still missing afterwards is genuinely absent).
+    */
+  private val tbLoaded = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
 
-  /** One pruned scan resolves every (term, field) of a query. */
+  /** Driver-LOCAL read of one termstats tb partition — a dictionary
+    * point-lookup must not cost a Spark job (on a multi-JVM cluster a
+    * job is a full scheduler round-trip, and the exact query path paid
+    * one per query for its stats). The partition is bounded at
+    * vocab/termBuckets rows; `termBuckets` is the build knob that keeps
+    * it a few MB at any corpus size (the same knob that bounds segment
+    * point reads). Goes through Hadoop FileSystem + parquet-java, so it
+    * works against any store filesystem; any surprise (schema drift,
+    * unreadable FS) returns false and the caller falls back to the
+    * pruned Spark scan.
+    */
+  private def loadTbLocal(tb: Long): Boolean = {
+    if (tbLoaded.contains(tb)) return true
+    try {
+      import org.apache.hadoop.fs.Path
+      import org.apache.parquet.hadoop.ParquetReader
+      import org.apache.parquet.hadoop.example.GroupReadSupport
+      val part = new Path(s"$dir/termstats/tb=$tb")
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = part.getFileSystem(conf)
+      if (fs.exists(part)) {
+        val files = fs.listStatus(part)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+            && !f.getPath.getName.startsWith("."))
+        files.foreach { f =>
+          val reader = ParquetReader
+            .builder(new GroupReadSupport(), f.getPath).withConf(conf).build()
+          try {
+            var g = reader.read()
+            while (g != null) {
+              statCache.putIfAbsent(
+                (g.getString("term", 0), g.getString("field", 0)),
+                (g.getLong("df", 0), g.getLong("cf", 0)))
+              g = reader.read()
+            }
+          } finally reader.close()
+        }
+      } // a missing partition dir just means no terms hash there
+      tbLoaded.add(tb)
+      true
+    } catch { case _: Throwable => false }
+  }
+
+  def termStat(term: String, field: String): (Long, Long) =
+    statCache.get((term, field)).getOrElse {
+      if (termstatsHasTb && loadTbLocal(tbOf(term)))
+        statCache.getOrElseUpdate((term, field), (0L, 0L))
+      else statCache.getOrElseUpdate((term, field), {
+        val pruned = if (termstatsHasTb)
+          termstatsDf.filter(col("tb") === tbOf(term)) else termstatsDf
+        val rows = pruned
+          .filter(col("term") === term && col("field") === field)
+          .select("df", "cf").collect()
+        if (rows.isEmpty) (0L, 0L) else (rows(0).getLong(0), rows(0).getLong(1))
+      })
+    }
+
+  /** Resolve every (term, field) of a batch: driver-local tb partition
+    * reads where possible, one pruned Spark scan for the remainder.
+    */
   override def prefetchStats(pairs: Seq[(String, String)]): Unit = {
-    val missing = pairs.distinct.filterNot(statCache.contains)
+    var missing = pairs.distinct.filterNot(statCache.contains)
     if (missing.isEmpty) return
+    if (termstatsHasTb) {
+      val ok = missing.map(p => tbOf(p._1)).distinct.forall(loadTbLocal)
+      missing = missing.filterNot(statCache.contains)
+      if (ok) { // loaded partitions are complete: the rest are absent
+        missing.foreach(p => statCache.put(p, (0L, 0L)))
+        return
+      }
+      if (missing.isEmpty) return
+    }
     val tbs = missing.map(p => tbOf(p._1)).distinct
     val terms = missing.map(_._1).distinct
     val fields = missing.map(_._2).distinct

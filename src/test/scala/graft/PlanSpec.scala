@@ -98,4 +98,40 @@ class PlanSpec extends AnyFunSuite {
       (ps.contains("isnotnull(field") || ps.contains("field#")), ps)
     assert(ps.contains("PushedFilters") && ps.contains("EqualTo(term,w1)"), ps)
   }
+
+  test("termStat dictionary lookups are driver-local (zero Spark jobs)") {
+    val dir = java.nio.file.Files.createTempDirectory("stats-store").toString
+    val pages = graft.corpus.SyntheticCorpus.pages(spark, 2000, 4).toDF()
+    graft.index.IndexStore.build(pages, dir,
+      graft.index.BuildConf(numSlices = 1, numBuckets = 4, termBuckets = 8,
+        shufflePartitions = 4))
+    // Spark-path reference values from a fresh reader
+    val ref = graft.index.IndexStore.open(spark, dir, 8)
+    val terms = Seq("w0", "w1", "w17", "obama", "nosuchterm9")
+    val viaSpark = terms.map(t => t -> {
+      val rows = spark.read.parquet(s"$dir/termstats")
+        .filter(col("term") === t && col("field") === "default")
+        .select("df", "cf").collect()
+      if (rows.isEmpty) (0L, 0L) else (rows(0).getLong(0), rows(0).getLong(1))
+    }).toMap
+    // count jobs scheduled while the driver-local path resolves the same
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val idx = graft.index.IndexStore.open(spark, dir, 8)
+      val viaLocal = terms.map(t => t -> idx.termStat(t, "default")).toMap
+      // listener bus is async — give queued events a moment to drain
+      Thread.sleep(1500)
+      assert(viaLocal === viaSpark)
+      assert(viaLocal("w0")._1 > 0L) // present term really resolved
+      assert(viaLocal("nosuchterm9") === ((0L, 0L)))
+      assert(jobs.get() === 0,
+        s"termStat scheduled ${jobs.get()} Spark jobs; must be driver-local")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
