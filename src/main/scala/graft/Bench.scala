@@ -368,10 +368,14 @@ object Bench {
       thrTHi = math.max(thrTHi,
         threadThroughput(32, numDocs, 1, record = samplesT32 += _))
     if (thrTHi < thrTLo && nz(samplesT8) < 2 && hardRemainS > 0) {
-      // still inverted on a single lo sample: the LO side may be the
-      // outlier (a one-off fast window) — re-sample it before testifying
-      thrTLo = math.max(thrTLo,
-        threadThroughput(8, numDocs, 1, record = samplesT8 += _))
+      // still inverted on a single lo sample: re-sample the LO side for
+      // EVIDENCE. Best-of stays the estimator on both axes (a fast
+      // sample is real capability; ambient noise only slows), so this
+      // cannot lower thrTLo — the second sample either reproduces the
+      // fast lo (the inversion is then the hi side's, and the degraded
+      // flag stands unless a hi rescue clears it) or lands in the
+      // samples array showing the recorded lo was a one-off.
+      threadThroughput(8, numDocs, 1, record = samplesT8 += _)
       thrTLo = samplesT8.filter(_ > 0).max
     }
     val effThreads =

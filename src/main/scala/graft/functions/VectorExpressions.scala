@@ -18,10 +18,15 @@ object VectorOps {
     * this expression replaced), so gate hashes are unchanged.
     */
   def cosine(a: ArrayData, b: ArrayData): Double = {
+    // dimension drift (store built at one dim, queried at another) must
+    // SURFACE, not silently truncate to the common prefix: NaN ranks
+    // first under the ANN paths' total order, so one drifted row is
+    // visible at rank 1 instead of quietly skewing every score
+    if (a.numElements() != b.numElements()) return Double.NaN
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var i = 0
     while (i < n) {
       val x = a.getFloat(i).toDouble
@@ -43,10 +48,11 @@ object VectorOps {
     * (they have no direction).
     */
   def cosineQ8(a: Array[Byte], b: Array[Byte]): Double = {
+    if (a.length != b.length) return Double.NaN // see cosine: drift surfaces
     var dot = 0L
     var na = 0L
     var nb = 0L
-    val n = math.min(a.length, b.length)
+    val n = a.length
     var i = 0
     while (i < n) {
       val x = a(i).toLong

@@ -356,7 +356,15 @@ object Multimodal {
       // luma must be full-resolution (true of every JFIF in the wild);
       // otherwise the feature row-sampling below would need resampling
       if (compH(0) != hmax || compV(0) != vmax) bail()
-      val mcuW = 8 * hmax; val mcuH = 8 * vmax
+      // T.81 A.2: a SINGLE-component scan is NON-interleaved — one 8×8
+      // data unit per MCU tiling ceil(w/8) × ceil(h/8), with the
+      // declared sampling factors NOT expanding the MCU (a grayscale
+      // SOF0 may legally declare H=V=2; treating that as a 16×16
+      // 4-block MCU would misalign the entropy stream and the DRI
+      // restart positions)
+      val oneComp = nScan == 1
+      val mcuW = if (oneComp) 8 else 8 * hmax
+      val mcuH = if (oneComp) 8 else 8 * vmax
       val mcusX = (width + mcuW - 1) / mcuW
       val mcusY = (height + mcuH - 1) / mcuH
       val yStride = mcusX * mcuW
@@ -475,10 +483,14 @@ object Multimodal {
         var s = 0
         while (s < nScan) {
           val ci = scanComp(s)
+          // non-interleaved single-component scan: exactly one block per
+          // MCU (see the oneComp geometry note above)
+          val nv = if (oneComp) 1 else compV(ci)
+          val nh = if (oneComp) 1 else compH(ci)
           var by = 0
-          while (by < compV(ci)) {
+          while (by < nv) {
             var bx = 0
-            while (bx < compH(ci)) {
+            while (bx < nh) {
               decodeBlock(s, store = ci == 0,
                 mx * mcuW + bx * 8, my * mcuH + by * 8)
               bx += 1

@@ -79,8 +79,16 @@ object Similarity {
   private class TopKAgg(k: Int)
       extends org.apache.spark.sql.expressions.Aggregator[
         (Long, Double), Vector[(Double, Long)], Seq[(Double, Long)]] {
-    private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    // java.lang.Double.compare, NOT >: IEEE > is false on every NaN
+    // comparison, which would let a NaN (zero-norm vector) rank LAST and
+    // — worse — sit unbeatable at the head of an underfull buffer. The
+    // total order here (NaN greatest) matches both Spark's `desc` sort
+    // and the DuckDB oracle's ORDER BY, which the window row_number this
+    // aggregator replaced inherited for free.
+    private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+      val c = java.lang.Double.compare(a._1, b._1)
+      c > 0 || (c == 0 && a._2 < b._2)
+    }
     private def ins(b: Vector[(Double, Long)],
                     e: (Double, Long)): Vector[(Double, Long)] =
       if (b.length >= k && !better(e, b(b.length - 1))) b
@@ -365,9 +373,17 @@ object Similarity {
     val assignUdf = udf { (v: Seq[Float]) =>
       nearestCentroid(v.toArray.map(_.toDouble), cents)
     }
+    // the training params ride as FIELD METADATA on cidx (parquet footer
+    // property, zero row bytes): a query-time caller re-derives the
+    // centroids from its own params, and [[ivfTopKQ8]] refuses a store
+    // whose recorded params disagree — otherwise the store's cell space
+    // and the probe's cell space silently diverge and recall collapses
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("nc", nCentroids).putLong("iters", iters)
+      .putLong("trainN", trainN).build()
     emb.select(col("vec_id"), col("embedding"),
         scaleRawCol(col("embedding")).as("scaleraw"))
-      .select(col("vec_id"), assignUdf(col("embedding")).as("cidx"),
+      .select(col("vec_id"), assignUdf(col("embedding")).as("cidx", md),
         packQ8(qArr(col("embedding"), col("scaleraw"))).as("q"))
   }
 
@@ -395,6 +411,22 @@ object Similarity {
     val probeUdf = udf { (v: Seq[Float]) =>
       probeList(v.toArray.map(_.toDouble), cents, nProbe)
     }
+    // a caller-supplied store must have been built with THESE params —
+    // the probe side re-derives centroids from them, so a mismatch means
+    // probing the wrong cell space (wrong results, no error). Stores
+    // written by q8IvfStore carry the params as cidx field metadata;
+    // refuse on disagreement rather than silently retrain.
+    store.foreach { s =>
+      s.schema.find(_.name == "cidx").map(_.metadata)
+        .filter(_.contains("nc")).foreach { m =>
+          require(m.getLong("nc") == nCentroids &&
+            m.getLong("iters") == iters && m.getLong("trainN") == trainN,
+            s"q8 store built with (nc=${m.getLong("nc")}, " +
+              s"iters=${m.getLong("iters")}, trainN=${m.getLong("trainN")}) " +
+              s"but queried with (nc=$nCentroids, iters=$iters, " +
+              s"trainN=$trainN) — centroid spaces differ")
+        }
+    }
     val idx = store.getOrElse(q8IvfStore(emb, nCentroids, iters, trainN))
     // query side: tiny by contract — quantized the same way, probing its
     // nProbe nearest cells (outer explode per explodeNN scaladoc)
@@ -405,10 +437,14 @@ object Similarity {
         packQ8(qArr(col("embedding"), col("scaleraw"))).as("qq"),
         explode_outer(probeUdf(col("embedding"))).as("cidx"))
       .filter(col("cidx").isNotNull)
+    // .distinct(): the same dedupe guard the float IVF/LSH paths carry —
+    // a store with duplicated rows (e.g. a double-appended parquet dir)
+    // would otherwise put one neighbor at two ranks via TopKAgg
     val cand = idx.join(broadcast(queries), Seq("cidx"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosineQ8Col(col("qq"), col("q")).as("q8raw"))
+      .distinct()
     // quantized prefilter: per-query top rerank·k by the int8 score
     // (total order — q8raw desc, neighbor_id asc — so the cut is
     // deterministic); TakeOrdered-shaped like the final rank, so the

@@ -382,9 +382,12 @@ class Engine(val index: SearchIndex, val model: Model,
     // one pruned stats scan resolves every (term, field) of the whole
     // batch up front — each per-query search() then finds the stat cache
     // warm and schedules no stats job (30 queries = 30 fewer tiny jobs;
-    // at cluster scale those are pure scheduler round-trips)
+    // at cluster scale those are pure scheduler round-trips). A query
+    // that fails to PARSE is skipped here so the error surfaces inside
+    // its own named query, not as a batch-wide prefetch failure.
     index.prefetchStats(queries.flatMap { case (_, q) =>
-      collectLeaves(parser.parse(q)) })
+      try collectLeaves(parser.parse(q))
+      catch { case _: Throwable => Nil } })
     def rowsOf(qid: String, q: String): Seq[graft.model.TrecResult] =
       search(q, numResults, parser).collect().toSeq.map { r =>
         graft.model.TrecResult(qid, r.getAs[Long]("docId"),
@@ -392,9 +395,8 @@ class Engine(val index: SearchIndex, val model: Model,
       }
     if (parallelism <= 1)
       queries.flatMap { case (qid, q) =>
-        val rows = rowsOf(qid, q)
-        releaseCaches() // positional rescoring pins caches per query
-        rows
+        try rowsOf(qid, q)
+        finally releaseCaches() // positional rescoring pins caches per query
       }
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
@@ -407,7 +409,7 @@ class Engine(val index: SearchIndex, val model: Model,
         }
         // bounded wait: a wedged executor pool must surface as an error
         // naming the stuck query, not hang the driver forever
-        val out = futs.flatMap { case (qid, f) =>
+        futs.flatMap { case (qid, f) =>
           try scala.concurrent.Await.result(f, perQueryTimeout)
           catch {
             case _: java.util.concurrent.TimeoutException =>
@@ -416,9 +418,12 @@ class Engine(val index: SearchIndex, val model: Model,
                 s"query '$qid' exceeded $perQueryTimeout — executor pool wedged?")
           }
         }
+      } finally {
+        if (wedged) pool.shutdownNow() else pool.shutdown()
+        // on ANY exit — completed, failed, or timed out — the finished
+        // queries' pinned positional caches must not outlive the batch
         releaseCaches()
-        out
-      } finally if (wedged) pool.shutdownNow() else pool.shutdown()
+      }
     }
   }
 

@@ -219,6 +219,28 @@ class OpsSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("ANN top-k ranks NaN scores first (zero-norm vectors), losing no results") {
+    // a zero-norm embedding makes cosine 0/0 = NaN; Spark `desc` and the
+    // DuckDB oracle both sort NaN GREATEST, so the bounded TopKAgg must
+    // too — IEEE `>` (false on every NaN comparison) would both rank
+    // NaN last and let an early NaN sit unbeatable at the head of an
+    // underfull buffer, evicting real neighbors
+    val vecs = spark.createDataFrame(Seq(
+      (0L, Seq(1.0f, 0.0f)),   // query
+      (1L, Seq(0.0f, 0.0f)),   // zero-norm → NaN cosine
+      (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.5f, 0.5f)),
+      (4L, Seq(-1.0f, 0.0f))
+    )).toDF("vec_id", "embedding")
+    val got = Similarity.bruteTopK(vecs, Seq(0L), k = 3).collect()
+      .sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))
+    assert(got.length == 3)
+    assert(got(0)._1 == 1L && got(0)._2.isNaN, s"NaN must rank first: ${got.toSeq}")
+    // the real neighbors keep their relative order and none is lost
+    assert(got(1)._1 == 2L && got(2)._1 == 3L, got.toSeq.toString)
+  }
+
   test("substring dedup: planted verbatim span found with exact length, shorter overlap ignored") {
     val span = (1 to 25).map(i => s"span$i").mkString(" ")
     val short = (1 to 9).map(i => s"short$i").mkString(" ")
@@ -470,6 +492,20 @@ class OpsSpec extends AnyFunSuite {
     for (f <- 0 until 6)
       assert(math.abs(gm.features(f) - gExp(f)) < 0.01,
         s"gray band $f: ${gm.features(f)} vs ${gExp(f)}")
+
+    // T.81 A.2: declared sampling factors do NOT expand the MCU of a
+    // single-component (non-interleaved) scan — patch SOF0's H/V from
+    // 1×1 to 2×2 (legal, emitted by some encoders) and the identical
+    // entropy stream must decode to the identical features
+    val g22 = gBytes.clone()
+    val g22Sof = g22.indices.find(i => (g22(i) & 0xFF) == 0xFF &&
+      (g22(i + 1) & 0xFF) == 0xC0).get
+    assert((g22(g22Sof + 11) & 0xFF) == 0x11, "fixture SOF0 layout drifted")
+    g22(g22Sof + 11) = 0x22.toByte
+    val gm22 = Multimodal.decodeJpeg(13L, g22, featDim = 6).get
+    assert(gm22.width == gw && gm22.height == gh)
+    assert(gm22.features.toSeq == gm.features.toSeq,
+      "H=V=2 grayscale (non-interleaved scan) must decode identically")
 
     // --- RGB: 3-component interleaved scan (chroma decoded + discarded);
     // oracle luma via the JPEG Y formula over the JDK's decoded RGB
