@@ -334,6 +334,84 @@ j AS (
 SELECT gram, cab AS n_occurrences, round(pmiraw, 6) AS pmi
 FROM j ORDER BY pmiraw DESC, gram ASC LIMIT 50""")),
 
+    // Per-doc top-5 TF-IDF keywords. Rank boundary is deterministic
+    // cross-engine: ties need equal (tf, df), which both engines score
+    // to the identical double (same smoothed formula, same division
+    // order), then break on term ASC.
+    GateQuery("q_op_tfidf_keywords",
+      (s, d) => TextAnalysis.tfidfKeywords(docs(s, d), k = 5),
+      Some(s"""$tokPrelude,
+tfc AS (SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS term FROM base) GROUP BY 1, 2),
+dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+tot AS (SELECT count(*) AS n_docs FROM documents),
+sc AS (
+  SELECT doc_id, term,
+         tf * ln((n_docs + 1.0) / (df + 1.0)) AS raw
+  FROM tfc JOIN dfc USING (term), tot)
+SELECT doc_id, term, round(raw, 6) AS tfidf, rank FROM (
+  SELECT doc_id, term, raw,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY raw DESC, term ASC) AS rank
+  FROM sc) WHERE rank <= 5""")),
+
+    // Unigram cross-entropy vs the corpus's own LM (KenLM-quality-filter
+    // stand-in). Both sides accumulate contributions by an explicit left
+    // fold in term-ASC order (sort_array+aggregate / list(ORDER BY)+
+    // list_reduce) so the rounded double is bit-reproducible — a plain
+    // SUM would be partitioning-dependent.
+    GateQuery("q_op_lm_xent",
+      (s, d) => TextAnalysis.lmCrossEntropy(docs(s, d)),
+      Some(s"""$tokPrelude,
+tfc AS (SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS term FROM base) GROUP BY 1, 2),
+cw AS (SELECT term, sum(tf) AS cw FROM tfc GROUP BY 1),
+tot AS (SELECT sum(cw) AS t_total FROM cw),
+ct AS (
+  SELECT doc_id, term, tf,
+         tf * -ln(cw::DOUBLE / t_total) AS contrib
+  FROM tfc JOIN cw USING (term), tot)
+SELECT doc_id, sum(tf) AS n_tokens,
+       round(list_reduce(list_prepend(0.0, list(contrib ORDER BY term)),
+                         (a, x) -> a + x) / sum(tf), 6) AS xent_nats
+FROM ct GROUP BY doc_id""")),
+
+    // PII scrub: detection counts + md5 witness of the redacted text.
+    // The fixture is PII-free word salad, so both sides append the SAME
+    // deterministic doc_id-derived email/IP/phone decorations (the
+    // derived-column pattern the multimodal gates use) — the operator
+    // itself runs only on the text column it is given.
+    GateQuery("q_op_pii_redact",
+      (s, d) => Pii.redact(
+        docs(s, d).withColumn("text2", concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id"),
+              lit("@example.com now"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" from 10."), col("doc_id") % 256, lit(".0."),
+              col("doc_id") % 250 + 1)).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            lit(" call 555-867-5309")).otherwise(lit("")))),
+        textCol = "text2"),
+      Some(s"""WITH p AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 7 = 0
+         THEN ' contact user' || doc_id || '@example.com now' ELSE '' END ||
+    CASE WHEN doc_id % 11 = 0
+         THEN ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 250 + 1)
+         ELSE '' END ||
+    CASE WHEN doc_id % 13 = 0 THEN ' call 555-867-5309' ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(t, '${Pii.EmailRe}')) AS n_emails,
+  len(regexp_extract_all(t, '${Pii.Ipv4Re}')) AS n_ips,
+  len(regexp_extract_all(t, '${Pii.PhoneRe}')) AS n_phones,
+  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        '${Pii.EmailRe}', '<EMAIL>', 'g'),
+        '${Pii.Ipv4Re}', '<IP>', 'g'),
+        '${Pii.PhoneRe}', '<PHONE>', 'g')) AS clean_hash
+FROM p""")),
+
     // Benchmark decontamination: corpus docs sharing any 3-gram with a
     // benchmark doc (here: doc_id < 25 as the stand-in eval set), with
     // overlap counts; benchmark gram set broadcasts at scale.

@@ -311,4 +311,82 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("gram").asc)
       .limit(k)
   }
+
+  /** Per-document term frequencies: one row per (doc_id, distinct term).
+    * The shared first stage of [[tfidfKeywords]] and [[lmCrossEntropy]] —
+    * one explode + one map-side-combined shuffle on (doc_id, term).
+    */
+  private def termFreqs(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), tokensCol(col("text")).as("toks"))
+    explodeNN(t, Seq(col("doc_id")), col("toks"), "term")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+  }
+
+  /** Per-document top-k keywords by smoothed TF-IDF:
+    * score = tf * ln((N + 1) / (df + 1)), N = corpus doc count,
+    * df = number of docs containing the term. The standard extractive
+    * keyword signal a pretraining pipeline uses for topic tagging and
+    * source diagnostics.
+    *
+    * Plan shape at scale: (doc, term) tf shuffle → term-keyed df
+    * aggregation (map-side partials collapse the Zipf head) → tf⋈df
+    * shuffle join on term (vocab-sized right side; AQE handles the head
+    * skew) → per-doc row_number window. The window repartitions by
+    * doc_id, which is uniform by construction — no skew. Ordering is
+    * total (raw score desc, term asc); ties can only occur at equal
+    * (tf, df) where both engines compute the identical double, so the
+    * k boundary is deterministic cross-engine.
+    */
+  def tfidfKeywords(docs: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 1, s"need k >= 1; got $k")
+    val tf = termFreqs(docs)
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val total = docs.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfc, Seq("term"))
+      .crossJoin(broadcast(total))
+      .withColumn("raw",
+        col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("raw").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"),
+        round(col("raw"), 6).as("tfidf"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Per-document unigram cross-entropy against the corpus's own unigram
+    * LM (MLE, no smoothing needed — every doc term is in the corpus by
+    * definition): xent = Σ_w tf(w) · −ln(c(w)/T) / n_tokens, in nats per
+    * token. The in-sandbox stand-in for the KenLM-perplexity quality
+    * filter (CCNet-style): low = stereotypical text, high = rare-token
+    * soup; pipelines keep the middle band.
+    *
+    * Cross-engine FP determinism: per-(doc, term) contributions are
+    * summed via an explicit left fold over the term-ASC-sorted list on
+    * BOTH sides (sort_array + aggregate here; list(… ORDER BY term) +
+    * list_reduce in the oracle), so the accumulation order — and hence
+    * the rounded double — is identical. A plain SUM would be
+    * partitioning-dependent.
+    *
+    * Plan shape at scale: the same tf shuffle as [[tfidfKeywords]], a
+    * term-keyed corpus-count aggregation, one broadcast single-row
+    * totals frame, then a doc_id-keyed groupBy — all linear, no
+    * all-pairs anywhere.
+    */
+  def lmCrossEntropy(docs: DataFrame): DataFrame = {
+    val tf = termFreqs(docs)
+    val cw = tf.groupBy("term").agg(sum("tf").as("cw"))
+    val total = cw.agg(sum("cw").as("t_total"))
+    val contrib = tf.join(cw, Seq("term"))
+      .crossJoin(broadcast(total))
+      .withColumn("contrib",
+        col("tf") * -log(col("cw").cast("double") / col("t_total")))
+    contrib.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("term"), col("contrib"))))
+             .as("cs"),
+           sum("tf").as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(aggregate(col("cs"), lit(0.0), (a, x) => a + x("contrib"))
+                / col("n_tokens"), 6).as("xent_nats"))
+  }
 }
