@@ -315,11 +315,15 @@ object TextAnalysis {
   /** Per-document term frequencies: one row per (doc_id, distinct term).
     * The shared first stage of [[tfidfKeywords]] and [[lmCrossEntropy]] —
     * one explode + one map-side-combined shuffle on (doc_id, term).
+    * Persisted (OpScratch-tracked) because both consumers read it twice:
+    * once for the term-keyed corpus aggregate, once for the join back.
     */
   private def termFreqs(docs: DataFrame): DataFrame = {
     val t = docs.select(col("doc_id"), tokensCol(col("text")).as("toks"))
-    explodeNN(t, Seq(col("doc_id")), col("toks"), "term")
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    OpScratch.track(
+      explodeNN(t, Seq(col("doc_id")), col("toks"), "term")
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .persist())
   }
 
   /** Per-document top-k keywords by smoothed TF-IDF:
