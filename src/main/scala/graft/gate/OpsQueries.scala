@@ -335,9 +335,10 @@ SELECT gram, cab AS n_occurrences, round(pmiraw, 6) AS pmi
 FROM j ORDER BY pmiraw DESC, gram ASC LIMIT 50""")),
 
     // Per-doc top-5 TF-IDF keywords. Rank boundary is deterministic
-    // cross-engine: ties need equal (tf, df), which both engines score
-    // to the identical double (same smoothed formula, same division
-    // order), then break on term ASC.
+    // cross-engine: tied raw scores (equal (tf, df), or ANY df = N term
+    // — those score exactly 0.0 whatever their tf) are bit-identical
+    // doubles in both engines (same smoothed formula, same division
+    // order), and the term-ASC tiebreak totalizes the order.
     GateQuery("q_op_tfidf_keywords",
       (s, d) => TextAnalysis.tfidfKeywords(docs(s, d), k = 5),
       Some(s"""$tokPrelude,
@@ -371,7 +372,7 @@ ct AS (
   SELECT doc_id, term, tf,
          tf * -ln(cw::DOUBLE / t_total) AS contrib
   FROM tfc JOIN cw USING (term), tot)
-SELECT doc_id, sum(tf) AS n_tokens,
+SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
        round(list_reduce(list_prepend(0.0, list(contrib ORDER BY term)),
                          (a, x) -> a + x) / sum(tf), 6) AS xent_nats
 FROM ct GROUP BY doc_id""")),
@@ -403,13 +404,13 @@ FROM ct GROUP BY doc_id""")),
     CASE WHEN doc_id % 13 = 0 THEN ' call 555-867-5309' ELSE '' END AS t
   FROM documents)
 SELECT doc_id,
-  len(regexp_extract_all(t, '${Pii.EmailRe}')) AS n_emails,
-  len(regexp_extract_all(t, '${Pii.Ipv4Re}')) AS n_ips,
-  len(regexp_extract_all(t, '${Pii.PhoneRe}')) AS n_phones,
+  len(regexp_extract_all(t, '${Pii.EmailRe.replace("'", "''")}')) AS n_emails,
+  len(regexp_extract_all(t, '${Pii.Ipv4Re.replace("'", "''")}')) AS n_ips,
+  len(regexp_extract_all(t, '${Pii.PhoneRe.replace("'", "''")}')) AS n_phones,
   md5(regexp_replace(regexp_replace(regexp_replace(t,
-        '${Pii.EmailRe}', '<EMAIL>', 'g'),
-        '${Pii.Ipv4Re}', '<IP>', 'g'),
-        '${Pii.PhoneRe}', '<PHONE>', 'g')) AS clean_hash
+        '${Pii.EmailRe.replace("'", "''")}', '<EMAIL>', 'g'),
+        '${Pii.Ipv4Re.replace("'", "''")}', '<IP>', 'g'),
+        '${Pii.PhoneRe.replace("'", "''")}', '<PHONE>', 'g')) AS clean_hash
 FROM p""")),
 
     // Benchmark decontamination: corpus docs sharing any 3-gram with a

@@ -18,8 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object Pii {
 
-  /** Email: local part @ dotted domain with an alphabetic TLD of ≥ 2. */
-  val EmailRe: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+  /** Email: local part @ dotted domain with an alphabetic TLD of ≥ 2.
+    * Case-insensitive via explicit [A-Za-z] classes (NOT by lowercasing
+    * the input — that would corrupt the md5 witness of non-PII text, and
+    * inline `(?i)` flags are a construct the two engines treat
+    * differently in mid-pattern position).
+    */
+  val EmailRe: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
 
   /** Dotted-quad IPv4 (syntactic — no octet range check, matching the
     * recall-over-precision choice real scrubbers make).

@@ -337,9 +337,13 @@ object TextAnalysis {
     * shuffle join on term (vocab-sized right side; AQE handles the head
     * skew) → per-doc row_number window. The window repartitions by
     * doc_id, which is uniform by construction — no skew. Ordering is
-    * total (raw score desc, term asc); ties can only occur at equal
-    * (tf, df) where both engines compute the identical double, so the
-    * k boundary is deterministic cross-engine.
+    * total (raw score desc, term asc). The term-ASC tiebreak is
+    * LOAD-BEARING for determinism: raw-score ties happen not only at
+    * equal (tf, df) but for EVERY term with df = N (score exactly 0.0
+    * regardless of tf — common with stopwords), so ordering by score
+    * alone would make the k boundary partitioning-dependent. Tied
+    * scores are bit-identical in both engines (same formula, same
+    * division order), so score-then-term is a cross-engine total order.
     */
   def tfidfKeywords(docs: DataFrame, k: Int = 5): DataFrame = {
     require(k >= 1, s"need k >= 1; got $k")

@@ -70,4 +70,13 @@ class TextSignalsSpec extends AnyFunSuite {
     val r = Pii.redact(docs).head
     assert(r.getLong(1) == 0L && r.getLong(2) == 1L && r.getLong(3) == 1L)
   }
+
+  test("pii email detection is case-insensitive without lowercasing the text") {
+    val docs = Seq((0L, "Write John.Doe@Gmail.COM or MIXED@Example.org today"))
+      .toDF("doc_id", "text")
+    val r = Pii.redact(docs).head
+    assert(r.getLong(1) == 2L)
+    val red = docs.select(Pii.redactedCol(col("text"))).head.getString(0)
+    assert(red == "Write <EMAIL> or <EMAIL> today") // case preserved around
+  }
 }
