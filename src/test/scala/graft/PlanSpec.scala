@@ -134,4 +134,24 @@ class PlanSpec extends AnyFunSuite {
         s"termStat scheduled ${jobs.get()} Spark jobs; must be driver-local")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("pii redaction is a pure scan-stage projection (no shuffle, no UDF)") {
+    val p = planOf(Pii.redact(docs))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.toLowerCase.contains("scalaudf") && !p.contains("UDF("), p)
+  }
+
+  test("tfidf and lm-xent stay UDF-free and join on keys, never all-pairs") {
+    // the single crossJoin in each is the broadcast of a 1-row totals
+    // frame — a BroadcastNestedLoopJoin with one build row is a constant,
+    // not an all-pairs risk; anything beyond that one is a regression
+    Seq(planOf(TextAnalysis.tfidfKeywords(docs, 5)),
+        planOf(TextAnalysis.lmCrossEntropy(docs))).foreach { p =>
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.sliding("BroadcastNestedLoopJoin".length)
+        .count(_ == "BroadcastNestedLoopJoin") <= 1, p)
+      assert(!p.toLowerCase.contains("scalaudf") && !p.contains("UDF("), p)
+    }
+    OpScratch.release()
+  }
 }
