@@ -377,6 +377,53 @@ SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
                          (a, x) -> a + x) / sum(tf), 6) AS xent_nats
 FROM ct GROUP BY doc_id""")),
 
+    // Gopher/C4-style keep/drop decision: the composite filter gate a
+    // pipeline runs after scoring. Signals are the SAME rounded 6dp
+    // expressions the q_op_quality / q_op_quality_rep gates pin, so the
+    // threshold comparisons see identical doubles in both engines;
+    // fail_reason is the first failed rule in fixed order.
+    GateQuery("q_op_gopher_filter",
+      (s, d) => TextAnalysis.gopherFilter(docs(s, d)),
+      Some(s"""$tokPrelude,
+ln AS (SELECT doc_id, str_split(text, chr(10)) AS ls FROM base),
+g AS (
+  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+  FROM (SELECT doc_id, toks,
+               unnest(CASE WHEN len(toks) < 2 THEN []
+                      ELSE range(1, len(toks)) END) AS i
+        FROM base)),
+gm AS (
+  SELECT doc_id, max(c) AS mx, sum(c) AS ng
+  FROM (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+  GROUP BY 1),
+sig AS (
+  SELECT b.doc_id,
+         len(toks)::BIGINT AS n_tokens,
+         round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+           (SELECT sum(len(t)) FROM unnest(toks) AS u(t))::DOUBLE / len(toks) END, 6)
+           AS mean_tok_len,
+         round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+           len(list_filter(toks, t -> list_contains($stopList, t)))::DOUBLE / len(toks) END, 6)
+           AS stop_ratio,
+         round(CASE WHEN len(text) = 0 THEN 0.0 ELSE
+           len(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE / len(text) END, 6)
+           AS alnum_ratio,
+         round((len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls), 6)
+           AS dup_line_frac,
+         round(coalesce(mx::DOUBLE / ng, 0), 6) AS top_2gram_frac
+  FROM base b JOIN ln USING (doc_id) LEFT JOIN gm USING (doc_id))
+SELECT doc_id, fail_reason = 'ok' AS keep, fail_reason FROM (
+  SELECT doc_id,
+    CASE WHEN n_tokens < 30 THEN 'n_tokens_low'
+         WHEN n_tokens > 100000 THEN 'n_tokens_high'
+         WHEN mean_tok_len < 3.0 OR mean_tok_len > 10.0 THEN 'mean_tok_len'
+         WHEN stop_ratio < 0.02 THEN 'stop_ratio'
+         WHEN alnum_ratio < 0.5 THEN 'alnum_ratio'
+         WHEN dup_line_frac > 0.3 THEN 'dup_line_frac'
+         WHEN top_2gram_frac > 0.2 THEN 'top_2gram_frac'
+         ELSE 'ok' END AS fail_reason
+  FROM sig)""")),
+
     // PII scrub: detection counts + md5 witness of the redacted text.
     // The fixture is PII-free word salad, so both sides append the SAME
     // deterministic doc_id-derived email/IP/phone decorations (the

@@ -61,6 +61,22 @@ object TextAnalysis {
   private lazy val stopLit =
     typedlit(graft.analysis.Tokenizer.stopwords.toSeq.sorted)
 
+  // Rounded per-row signal expressions, shared verbatim between
+  // qualityScore / repetitionSignals and the gopherFilter decision op so
+  // the filter compares EXACTLY the doubles the signal gates pin.
+  private def meanTokLenCol(toks: Column): Column =
+    round(when(size(toks) === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+        .cast("double") / size(toks)), 6)
+  private def stopRatioCol(toks: Column): Column =
+    round(when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, t => array_contains(stopLit, t)))
+        .cast("double") / size(toks)), 6)
+  private def alnumRatioCol(text: Column): Column =
+    round(when(length(text) === 0, 0.0).otherwise(
+      (length(regexp_replace(lower(text), "[^a-z0-9]", "")))
+        .cast("double") / length(text)), 6)
+
   /** Quality signals: token count, mean token length, stopword ratio,
     * alphanumeric character ratio. A composite `quality` score in [0,1]
     * combines them with fixed weights (documented, deterministic).
@@ -71,15 +87,9 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
-        round(when(size(col("toks")) === 0, 0.0).otherwise(
-          aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
-            .cast("double") / size(col("toks"))), 6).as("mean_tok_len"),
-        round(when(size(col("toks")) === 0, 0.0).otherwise(
-          size(filter(col("toks"), t => array_contains(stopLit, t)))
-            .cast("double") / size(col("toks"))), 6).as("stop_ratio"),
-        round(when(length(col("text")) === 0, 0.0).otherwise(
-          (length(regexp_replace(lower(col("text")), "[^a-z0-9]", "")))
-            .cast("double") / length(col("text"))), 6).as("alnum_ratio"))
+        meanTokLenCol(col("toks")).as("mean_tok_len"),
+        stopRatioCol(col("toks")).as("stop_ratio"),
+        alnumRatioCol(col("text")).as("alnum_ratio"))
   }
 
   /** Gopher-style repetition signals — the canonical web-pipeline
@@ -94,14 +104,13 @@ object TextAnalysis {
     * left fold (run-length max over sort_array), NOT an explode+groupBy
     * — nothing shuffles, the signals ride the scan stage at any scale.
     */
-  def repetitionSignals(docs: DataFrame): DataFrame = {
-    val lines = split(col("text"), "\n")
-    val toks = tokensCol(col("text"))
-    val grams = when(size(col("toks")) < 2, array().cast("array<string>"))
+  private def gramsOfToks: Column =
+    when(size(col("toks")) < 2, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(col("toks")) - 2),
         i => concat_ws(" ", col("toks")(i), col("toks")(i + 1))))
-    // max run length in the sorted gram array == mode count
-    val best = aggregate(sort_array(col("grams")),
+  // max run length in the sorted gram array == mode count
+  private def gramModeCount: Column =
+    aggregate(sort_array(col("grams")),
       struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
       (s, g) => {
         val run = when(g === s.getField("prev"), s.getField("run") + 1)
@@ -110,15 +119,20 @@ object TextAnalysis {
           greatest(s.getField("best"), run).as("best"))
       },
       s => s.getField("best"))
-    docs.select(col("doc_id"), lines.as("lines"), toks.as("toks"))
-      .withColumn("grams", grams)
+  private def dupLineFracCol: Column =
+    round((size(col("lines")) - size(array_distinct(col("lines"))))
+      .cast("double") / size(col("lines")), 6)
+  private def top2gramFracCol: Column =
+    round(when(size(col("grams")) === 0, 0.0)
+      .otherwise(gramModeCount.cast("double") / size(col("grams"))), 6)
+
+  def repetitionSignals(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), "\n").as("lines"),
+        tokensCol(col("text")).as("toks"))
+      .withColumn("grams", gramsOfToks)
       .select(col("doc_id"),
-        round((size(col("lines")) - size(array_distinct(col("lines"))))
-          .cast("double") / size(col("lines")), 6).as("dup_line_frac"),
-        round(when(size(col("grams")) === 0, 0.0)
-          .otherwise(best.cast("double") / size(col("grams"))), 6)
-          .as("top_2gram_frac"))
-  }
+        dupLineFracCol.as("dup_line_frac"),
+        top2gramFracCol.as("top_2gram_frac"))
 
   /** Heuristic language ID: an n-gram-free stand-in scored from the
     * English stopword ratio (the only language signal the synthetic
@@ -396,5 +410,60 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"),
         round(aggregate(col("cs"), lit(0.0), (a, x) => a + x("contrib"))
                 / col("n_tokens"), 6).as("xent_nats"))
+  }
+
+  /** Gopher/C4-style keep/drop decision thresholds. Defaults follow the
+    * published Gopher rules where the synthetic fixture can exercise
+    * them (token-count band, mean-token-length band, stopword floor,
+    * repetition ceilings), relaxed only where the fixture is degenerate
+    * (it is one line of pure [a-z0-9 ] text).
+    */
+  final case class FilterRules(minTokens: Long = 30L,
+                               maxTokens: Long = 100000L,
+                               minMeanTokLen: Double = 3.0,
+                               maxMeanTokLen: Double = 10.0,
+                               minStopRatio: Double = 0.02,
+                               minAlnumRatio: Double = 0.5,
+                               maxDupLineFrac: Double = 0.3,
+                               maxTop2gramFrac: Double = 0.2)
+
+  /** The keep/drop DECISION step a pretraining pipeline runs after
+    * scoring (the C4/Gopher rule set): every rule evaluated per row in
+    * ONE scan-stage projection — the signal expressions are the same
+    * rounded columns [[qualityScore]] / [[repetitionSignals]] gate, so
+    * the decision compares exactly the doubles those gates pin, and the
+    * whole filter shuffles nothing at any scale.
+    *
+    * Output: (doc_id, keep, fail_reason) — fail_reason names the FIRST
+    * failed rule in fixed order ('ok' when kept), the audit trail a
+    * pipeline keeps for filter-rate dashboards.
+    */
+  def gopherFilter(docs: DataFrame,
+                   rules: FilterRules = FilterRules()): DataFrame = {
+    val staged = docs.select(col("doc_id"),
+        split(col("text"), "\n").as("lines"),
+        tokensCol(col("text")).as("toks"), col("text"))
+      .withColumn("grams", gramsOfToks)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        meanTokLenCol(col("toks")).as("mean_tok_len"),
+        stopRatioCol(col("toks")).as("stop_ratio"),
+        alnumRatioCol(col("text")).as("alnum_ratio"),
+        dupLineFracCol.as("dup_line_frac"),
+        top2gramFracCol.as("top_2gram_frac"))
+    val reason =
+      when(col("n_tokens") < rules.minTokens, "n_tokens_low")
+        .when(col("n_tokens") > rules.maxTokens, "n_tokens_high")
+        .when(col("mean_tok_len") < rules.minMeanTokLen ||
+              col("mean_tok_len") > rules.maxMeanTokLen, "mean_tok_len")
+        .when(col("stop_ratio") < rules.minStopRatio, "stop_ratio")
+        .when(col("alnum_ratio") < rules.minAlnumRatio, "alnum_ratio")
+        .when(col("dup_line_frac") > rules.maxDupLineFrac, "dup_line_frac")
+        .when(col("top_2gram_frac") > rules.maxTop2gramFrac,
+          "top_2gram_frac")
+        .otherwise("ok")
+    staged.select(col("doc_id"), reason.as("fail_reason"))
+      .withColumn("keep", col("fail_reason") === "ok")
+      .select(col("doc_id"), col("keep"), col("fail_reason"))
   }
 }

@@ -71,6 +71,29 @@ class TextSignalsSpec extends AnyFunSuite {
     assert(r.getLong(1) == 0L && r.getLong(2) == 1L && r.getLong(3) == 1L)
   }
 
+  test("gopher filter: each rule fires on a targeted row, first-failure order") {
+    val stop = "the of and a to in is it" // stopword-rich filler
+    val good = (s"$stop word quick brown fox jumps over lazy dog near " +
+      s"river bank stones $stop glass tree cloud stone maple iron") // 36 toks
+    val docs = Seq(
+      (0L, good),                                      // ok
+      (1L, "short doc only five tokens here"),         // n_tokens_low
+      (2L, good.replaceAll("\\b\\w", "x").replaceAll("\\w+",
+        "xxxxxxxxxxxxxxxxxxxxxx")),                    // mean_tok_len (22 > 10) but also n_tokens? 36 toks ok
+      (3L, (1 to 40).map(i => s"zq$i").mkString(" ")), // stop_ratio = 0
+      (4L, Seq.fill(20)("dup line").mkString("\n") + "\n" + good), // dup_line_frac
+      (5L, s"$stop " + Seq.fill(30)("spam gram").mkString(" "))    // top_2gram_frac
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherFilter(docs).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(out(0L) == ((true, "ok")))
+    assert(out(1L) == ((false, "n_tokens_low")))
+    assert(out(2L)._2 == "mean_tok_len")
+    assert(out(3L) == ((false, "stop_ratio")))
+    assert(out(4L) == ((false, "dup_line_frac")))
+    assert(out(5L) == ((false, "top_2gram_frac")))
+  }
+
   test("pii email detection is case-insensitive without lowercasing the text") {
     val docs = Seq((0L, "Write John.Doe@Gmail.COM or MIXED@Example.org today"))
       .toDF("doc_id", "text")
