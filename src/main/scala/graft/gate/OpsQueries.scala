@@ -19,6 +19,39 @@ object OpsQueries {
   private def emb(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/embeddings.parquet")
 
+  /** Deterministic derived url column for the WebOps gates (the fixture
+    * has no url): groups of 4 consecutive doc_ids share one canonical
+    * URL; within a group the raw strings differ by fragment (`#s2`),
+    * trailing slash, or host CASE — the noise url normalization exists
+    * to remove. Mirrored 1:1 by [[urlCte]].
+    */
+  private def withUrls(d: DataFrame): DataFrame = {
+    val pathId = (col("doc_id") / lit(4)).cast("long")
+    val tld = when(pathId % 3 === 0, ".com")
+      .when(pathId % 3 === 1, ".org").otherwise(".net")
+    val host0 = concat(lit("site"), pathId % 37, tld)
+    val host = when(col("doc_id") % 4 === 3, upper(host0)).otherwise(host0)
+    val suffix = when(col("doc_id") % 4 === 1, lit("#s2"))
+      .when(col("doc_id") % 4 === 2, lit("/")).otherwise(lit(""))
+    d.withColumn("url",
+      concat(lit("https://"), host, lit("/p/"), pathId, suffix))
+  }
+
+  private val urlCte =
+    """u AS (
+  SELECT doc_id, text,
+         'https://' ||
+         (CASE WHEN doc_id % 4 = 3 THEN upper(h) ELSE h END) ||
+         '/p/' || (doc_id // 4) ||
+         (CASE WHEN doc_id % 4 = 1 THEN '#s2'
+               WHEN doc_id % 4 = 2 THEN '/' ELSE '' END) AS url
+  FROM (SELECT doc_id, text,
+               'site' || ((doc_id // 4) % 37) ||
+               (CASE WHEN (doc_id // 4) % 3 = 0 THEN '.com'
+                     WHEN (doc_id // 4) % 3 = 1 THEN '.org'
+                     ELSE '.net' END) AS h
+        FROM documents))"""
+
   /** The tokenization/filter prelude shared by text-analysis oracles. */
   private val tokPrelude =
     """WITH base AS (
@@ -459,6 +492,43 @@ SELECT doc_id,
         '${Pii.Ipv4Re.replace("'", "''")}', '<IP>', 'g'),
         '${Pii.PhoneRe.replace("'", "''")}', '<PHONE>', 'g')) AS clean_hash
 FROM p""")),
+
+    // URL-exact dedup + per-domain stats over a deterministic derived
+    // url column (the fixture has none): groups of 4 consecutive doc_ids
+    // share a canonical URL but differ in fragment / trailing slash /
+    // host case, so the gate exercises normalization, not just grouping.
+    GateQuery("q_op_url_dedup",
+      (s, d) => WebOps.urlDedup(withUrls(docs(s, d))),
+      Some(s"""WITH $urlCte,
+nf AS (SELECT doc_id,
+              regexp_replace(regexp_replace(url, '#.*$$', ''), '/$$', '') AS x
+       FROM u),
+nn AS (SELECT doc_id,
+              lower(regexp_extract(x, '^[^/]*//[^/?#]*')) ||
+              substr(x, length(regexp_extract(x, '^[^/]*//[^/?#]*')) + 1)
+                AS url_norm
+       FROM nf)
+SELECT url_norm, min(doc_id) AS keep_id, count(*) AS n_docs
+FROM nn GROUP BY 1""")),
+
+    GateQuery("q_op_domain_stats",
+      (s, d) => WebOps.domainStats(withUrls(docs(s, d))),
+      Some(s"""WITH $urlCte,
+t AS (
+  SELECT lower(regexp_extract(url, '//([^/?#]+)', 1)) AS host,
+         lower(regexp_extract(
+             regexp_replace(regexp_replace(url, '#.*$$', ''), '/$$', ''),
+             '^[^/]*//[^/?#]*')) ||
+           substr(regexp_replace(regexp_replace(url, '#.*$$', ''), '/$$', ''),
+                  length(regexp_extract(
+                    regexp_replace(regexp_replace(url, '#.*$$', ''), '/$$', ''),
+                    '^[^/]*//[^/?#]*')) + 1) AS url_norm,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> ''))::BIGINT AS nt
+  FROM u)
+SELECT host, count(*) AS n_docs, sum(nt)::BIGINT AS n_tokens,
+       count(DISTINCT url_norm) AS n_urls
+FROM t GROUP BY 1""")),
 
     // Benchmark decontamination: corpus docs sharing any 3-gram with a
     // benchmark doc (here: doc_id < 25 as the stand-in eval set), with

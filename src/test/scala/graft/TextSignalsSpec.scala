@@ -94,6 +94,29 @@ class TextSignalsSpec extends AnyFunSuite {
     assert(out(5L) == ((false, "top_2gram_frac")))
   }
 
+  test("url normalization: fragment, trailing slash, host case; path case kept") {
+    val urls = Seq(
+      (0L, "https://Site7.COM/p/12#sec2", "x"),
+      (1L, "https://site7.com/p/12/", "x"),
+      (2L, "HTTPS://SITE7.com/p/12", "x"),
+      (3L, "https://site7.com/P/12", "x"), // path case differs -> distinct
+      (4L, "https://other.net/p/12", "x")).toDF("doc_id", "url", "text")
+    val norm = urls.select(WebOps.normalizeUrl(col("url"))).collect()
+      .map(_.getString(0))
+    assert(norm(0) == "https://site7.com/p/12")
+    assert(norm(1) == "https://site7.com/p/12")
+    assert(norm(2) == "https://site7.com/p/12")
+    assert(norm(3) == "https://site7.com/P/12") // RFC 3986: path case-sensitive
+    val groups = WebOps.urlDedup(urls).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(groups("https://site7.com/p/12") == ((0L, 3L)))
+    assert(groups.size == 3)
+    val stats = WebOps.domainStats(urls).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(stats("site7.com") == ((4L, 2L))) // 4 docs, 2 distinct urls
+    assert(stats("other.net") == ((1L, 1L)))
+  }
+
   test("pii email detection is case-insensitive without lowercasing the text") {
     val docs = Seq((0L, "Write John.Doe@Gmail.COM or MIXED@Example.org today"))
       .toDF("doc_id", "text")
