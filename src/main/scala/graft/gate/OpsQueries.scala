@@ -86,6 +86,48 @@ inter AS (
     graft.analysis.Tokenizer.stopwords.toSeq.sorted
       .map(w => "'" + w.replace("'", "''") + "'").mkString("[", ",", "]")
 
+  /** Repetition-signal CTE chain (lines, 2-grams, per-doc gram mode) —
+    * appended after `tokPrelude`; shared by q_op_quality_rep and the
+    * gopher-filter oracle so the two gates pin ONE SQL formulation.
+    */
+  private val repCtes =
+    """ln AS (SELECT doc_id, str_split(text, chr(10)) AS ls FROM base),
+g AS (
+  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+  FROM (SELECT doc_id, toks,
+               unnest(CASE WHEN len(toks) < 2 THEN []
+                      ELSE range(1, len(toks)) END) AS i
+        FROM base)),
+gm AS (
+  SELECT doc_id, max(c) AS mx, sum(c) AS ng
+  FROM (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+  GROUP BY 1)"""
+
+  /** The four scalar quality-signal columns over `base` — shared by
+    * q_op_quality and the gopher-filter oracle (same reason as repCtes).
+    */
+  private lazy val sigSelectCols =
+    s"""len(toks)::BIGINT AS n_tokens,
+       round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         (SELECT sum(len(t)) FROM unnest(toks) AS u(t))::DOUBLE / len(toks) END, 6)
+         AS mean_tok_len,
+       round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         len(list_filter(toks, t -> list_contains($stopList, t)))::DOUBLE / len(toks) END, 6)
+         AS stop_ratio,
+       round(CASE WHEN len(text) = 0 THEN 0.0 ELSE
+         len(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE / len(text) END, 6)
+         AS alnum_ratio"""
+
+  /** DuckDB expression mirroring WebOps.normalizeUrl over expression `c`
+    * — ONE definition used by every URL gate, so a normalization change
+    * cannot leave a stale SQL copy behind.
+    */
+  private def urlNormSql(c: String): String = {
+    val x = "regexp_replace(regexp_replace(" + c + ", '#.*$', ''), '/$', '')"
+    val head = "regexp_extract(" + x + ", '^[^/]*//[^/?#]*')"
+    s"lower($head) || substr($x, length($head) + 1)"
+  }
+
   val all: Seq[GateQuery] = Seq(
 
     // --- sampling / data mixing -----------------------------------------
@@ -181,17 +223,7 @@ FROM c""")),
     GateQuery("q_op_quality_rep",
       (s, d) => TextAnalysis.repetitionSignals(docs(s, d)),
       Some(s"""$tokPrelude,
-ln AS (SELECT doc_id, str_split(text, chr(10)) AS ls FROM base),
-g AS (
-  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
-  FROM (SELECT doc_id, toks,
-               unnest(CASE WHEN len(toks) < 2 THEN []
-                      ELSE range(1, len(toks)) END) AS i
-        FROM base)),
-gm AS (
-  SELECT doc_id, max(c) AS mx, sum(c) AS ng
-  FROM (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
-  GROUP BY 1)
+$repCtes
 SELECT ln.doc_id,
        round((len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls), 6)
          AS dup_line_frac,
@@ -226,16 +258,7 @@ FROM documents""")),
       (s, d) => TextAnalysis.qualityScore(docs(s, d)),
       Some(s"""$tokPrelude
 SELECT doc_id,
-       len(toks)::BIGINT AS n_tokens,
-       round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
-         (SELECT sum(len(t)) FROM unnest(toks) AS u(t))::DOUBLE / len(toks) END, 6)
-         AS mean_tok_len,
-       round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
-         len(list_filter(toks, t -> list_contains($stopList, t)))::DOUBLE / len(toks) END, 6)
-         AS stop_ratio,
-       round(CASE WHEN len(text) = 0 THEN 0.0 ELSE
-         len(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE / len(text) END, 6)
-         AS alnum_ratio
+       $sigSelectCols
 FROM base""")),
 
     GateQuery("q_op_langid",
@@ -418,36 +441,18 @@ FROM ct GROUP BY doc_id""")),
     GateQuery("q_op_gopher_filter",
       (s, d) => TextAnalysis.gopherFilter(docs(s, d)),
       Some(s"""$tokPrelude,
-ln AS (SELECT doc_id, str_split(text, chr(10)) AS ls FROM base),
-g AS (
-  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
-  FROM (SELECT doc_id, toks,
-               unnest(CASE WHEN len(toks) < 2 THEN []
-                      ELSE range(1, len(toks)) END) AS i
-        FROM base)),
-gm AS (
-  SELECT doc_id, max(c) AS mx, sum(c) AS ng
-  FROM (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
-  GROUP BY 1),
+$repCtes,
 sig AS (
-  SELECT b.doc_id,
-         len(toks)::BIGINT AS n_tokens,
-         round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
-           (SELECT sum(len(t)) FROM unnest(toks) AS u(t))::DOUBLE / len(toks) END, 6)
-           AS mean_tok_len,
-         round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
-           len(list_filter(toks, t -> list_contains($stopList, t)))::DOUBLE / len(toks) END, 6)
-           AS stop_ratio,
-         round(CASE WHEN len(text) = 0 THEN 0.0 ELSE
-           len(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE / len(text) END, 6)
-           AS alnum_ratio,
+  SELECT b.doc_id, b.text,
+         $sigSelectCols,
          round((len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls), 6)
            AS dup_line_frac,
          round(coalesce(mx::DOUBLE / ng, 0), 6) AS top_2gram_frac
   FROM base b JOIN ln USING (doc_id) LEFT JOIN gm USING (doc_id))
 SELECT doc_id, fail_reason = 'ok' AS keep, fail_reason FROM (
   SELECT doc_id,
-    CASE WHEN n_tokens < 30 THEN 'n_tokens_low'
+    CASE WHEN text IS NULL THEN 'no_text'
+         WHEN n_tokens < 30 THEN 'n_tokens_low'
          WHEN n_tokens > 100000 THEN 'n_tokens_high'
          WHEN mean_tok_len < 3.0 OR mean_tok_len > 10.0 THEN 'mean_tok_len'
          WHEN stop_ratio < 0.02 THEN 'stop_ratio'
@@ -500,14 +505,7 @@ FROM p""")),
     GateQuery("q_op_url_dedup",
       (s, d) => WebOps.urlDedup(withUrls(docs(s, d))),
       Some(s"""WITH $urlCte,
-nf AS (SELECT doc_id,
-              regexp_replace(regexp_replace(url, '#.*$$', ''), '/$$', '') AS x
-       FROM u),
-nn AS (SELECT doc_id,
-              lower(regexp_extract(x, '^[^/]*//[^/?#]*')) ||
-              substr(x, length(regexp_extract(x, '^[^/]*//[^/?#]*')) + 1)
-                AS url_norm
-       FROM nf)
+nn AS (SELECT doc_id, ${urlNormSql("url")} AS url_norm FROM u)
 SELECT url_norm, min(doc_id) AS keep_id, count(*) AS n_docs
 FROM nn GROUP BY 1""")),
 
@@ -516,13 +514,7 @@ FROM nn GROUP BY 1""")),
       Some(s"""WITH $urlCte,
 t AS (
   SELECT lower(regexp_extract(url, '//([^/?#]+)', 1)) AS host,
-         lower(regexp_extract(
-             regexp_replace(regexp_replace(url, '#.*$$', ''), '/$$', ''),
-             '^[^/]*//[^/?#]*')) ||
-           substr(regexp_replace(regexp_replace(url, '#.*$$', ''), '/$$', ''),
-                  length(regexp_extract(
-                    regexp_replace(regexp_replace(url, '#.*$$', ''), '/$$', ''),
-                    '^[^/]*//[^/?#]*')) + 1) AS url_norm,
+         ${urlNormSql("url")} AS url_norm,
          len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                          x -> x <> ''))::BIGINT AS nt
   FROM u)

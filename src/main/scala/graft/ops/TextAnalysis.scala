@@ -104,13 +104,13 @@ object TextAnalysis {
     * left fold (run-length max over sort_array), NOT an explode+groupBy
     * — nothing shuffles, the signals ride the scan stage at any scale.
     */
-  private def gramsOfToks: Column =
-    when(size(col("toks")) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(col("toks")) - 2),
-        i => concat_ws(" ", col("toks")(i), col("toks")(i + 1))))
+  private def gramsOfToks(toks: Column): Column =
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", toks(i), toks(i + 1))))
   // max run length in the sorted gram array == mode count
-  private def gramModeCount: Column =
-    aggregate(sort_array(col("grams")),
+  private def gramModeCount(grams: Column): Column =
+    aggregate(sort_array(grams),
       struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
       (s, g) => {
         val run = when(g === s.getField("prev"), s.getField("run") + 1)
@@ -119,20 +119,20 @@ object TextAnalysis {
           greatest(s.getField("best"), run).as("best"))
       },
       s => s.getField("best"))
-  private def dupLineFracCol: Column =
-    round((size(col("lines")) - size(array_distinct(col("lines"))))
-      .cast("double") / size(col("lines")), 6)
-  private def top2gramFracCol: Column =
-    round(when(size(col("grams")) === 0, 0.0)
-      .otherwise(gramModeCount.cast("double") / size(col("grams"))), 6)
+  private def dupLineFracCol(lines: Column): Column =
+    round((size(lines) - size(array_distinct(lines)))
+      .cast("double") / size(lines), 6)
+  private def top2gramFracCol(grams: Column): Column =
+    round(when(size(grams) === 0, 0.0)
+      .otherwise(gramModeCount(grams).cast("double") / size(grams)), 6)
 
   def repetitionSignals(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), "\n").as("lines"),
         tokensCol(col("text")).as("toks"))
-      .withColumn("grams", gramsOfToks)
+      .withColumn("grams", gramsOfToks(col("toks")))
       .select(col("doc_id"),
-        dupLineFracCol.as("dup_line_frac"),
-        top2gramFracCol.as("top_2gram_frac"))
+        dupLineFracCol(col("lines")).as("dup_line_frac"),
+        top2gramFracCol(col("grams")).as("top_2gram_frac"))
 
   /** Heuristic language ID: an n-gram-free stand-in scored from the
     * English stopword ratio (the only language signal the synthetic
@@ -443,16 +443,20 @@ object TextAnalysis {
     val staged = docs.select(col("doc_id"),
         split(col("text"), "\n").as("lines"),
         tokensCol(col("text")).as("toks"), col("text"))
-      .withColumn("grams", gramsOfToks)
-      .select(col("doc_id"),
+      .withColumn("grams", gramsOfToks(col("toks")))
+      .select(col("doc_id"), col("text"),
         size(col("toks")).cast("long").as("n_tokens"),
         meanTokLenCol(col("toks")).as("mean_tok_len"),
         stopRatioCol(col("toks")).as("stop_ratio"),
         alnumRatioCol(col("text")).as("alnum_ratio"),
-        dupLineFracCol.as("dup_line_frac"),
-        top2gramFracCol.as("top_2gram_frac"))
+        dupLineFracCol(col("lines")).as("dup_line_frac"),
+        top2gramFracCol(col("grams")).as("top_2gram_frac"))
     val reason =
-      when(col("n_tokens") < rules.minTokens, "n_tokens_low")
+      // the null rule MUST come first: a null text nulls every signal,
+      // and a null comparison is not-matched in a when-chain — without
+      // this rule a missing-text crawl record would fall through to 'ok'
+      when(col("text").isNull, "no_text")
+        .when(col("n_tokens") < rules.minTokens, "n_tokens_low")
         .when(col("n_tokens") > rules.maxTokens, "n_tokens_high")
         .when(col("mean_tok_len") < rules.minMeanTokLen ||
               col("mean_tok_len") > rules.maxMeanTokLen, "mean_tok_len")

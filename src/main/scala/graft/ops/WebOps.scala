@@ -14,11 +14,20 @@ import org.apache.spark.sql.functions._
   */
 object WebOps {
 
-  /** Lowercased host part. `parse_url` is Spark's codegen'd URI parser;
-    * the oracle mirrors it with a regex (scheme "//" up to the next '/',
-    * '?' or '#') — both see the same hosts on http(s) URLs.
+  /** Lowercased host part: `parse_url` (Spark's codegen'd URI parser —
+    * strips port and userinfo) with a regex fallback for the hosts
+    * java.net.URI rejects (underscores are common in dirty crawls; the
+    * fallback also strips userinfo/port so both paths agree on shape).
+    * Without the fallback every URI-invalid host would silently merge
+    * into one null bucket of the domain stats.
+    *
+    * The gate oracle mirrors only the simple scheme://host/path URLs the
+    * derived column produces (no port/userinfo/invalid hosts there); the
+    * edge shapes are pinned by TextSignalsSpec instead.
     */
-  def hostOf(url: Column): Column = lower(parse_url(url, lit("HOST")))
+  def hostOf(url: Column): Column = lower(coalesce(
+    parse_url(url, lit("HOST")),
+    regexp_extract(url, "^[^/]*//(?:[^/?#@]*@)?([^/?#:]*)", 1)))
 
   /** Canonical form for URL-exact dedup: strip the fragment, strip one
     * trailing slash, lowercase the scheme+host (the case-insensitive

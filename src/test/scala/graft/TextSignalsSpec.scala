@@ -72,18 +72,18 @@ class TextSignalsSpec extends AnyFunSuite {
   }
 
   test("gopher filter: each rule fires on a targeted row, first-failure order") {
-    val stop = "the of and a to in is it" // stopword-rich filler
+    val stop = "the of and a to in is it" // 8 stopwords
     val good = (s"$stop word quick brown fox jumps over lazy dog near " +
-      s"river bank stones $stop glass tree cloud stone maple iron") // 36 toks
+      s"river bank stones $stop glass tree cloud stone maple iron") // 34 toks
     val docs = Seq(
       (0L, good),                                      // ok
       (1L, "short doc only five tokens here"),         // n_tokens_low
-      (2L, good.replaceAll("\\b\\w", "x").replaceAll("\\w+",
-        "xxxxxxxxxxxxxxxxxxxxxx")),                    // mean_tok_len (22 > 10) but also n_tokens? 36 toks ok
+      (2L, good.replaceAll("\\w+", "x" * 22)),         // mean_tok_len 22 > 10 (still 34 toks)
       (3L, (1 to 40).map(i => s"zq$i").mkString(" ")), // stop_ratio = 0
       (4L, Seq.fill(20)("dup line").mkString("\n") + "\n" + good), // dup_line_frac
       (5L, s"$stop " + Seq.fill(30)("spam gram").mkString(" "))    // top_2gram_frac
     ).toDF("doc_id", "text")
+      .union(Seq((6L, null.asInstanceOf[String])).toDF("doc_id", "text"))
     val out = TextAnalysis.gopherFilter(docs).collect()
       .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
     assert(out(0L) == ((true, "ok")))
@@ -92,6 +92,9 @@ class TextSignalsSpec extends AnyFunSuite {
     assert(out(3L) == ((false, "stop_ratio")))
     assert(out(4L) == ((false, "dup_line_frac")))
     assert(out(5L) == ((false, "top_2gram_frac")))
+    // null text must be DROPPED: every signal is null, and a null
+    // comparison silently skips every threshold rule
+    assert(out(6L) == ((false, "no_text")))
   }
 
   test("url normalization: fragment, trailing slash, host case; path case kept") {
@@ -103,6 +106,13 @@ class TextSignalsSpec extends AnyFunSuite {
       (4L, "https://other.net/p/12", "x")).toDF("doc_id", "url", "text")
     val norm = urls.select(WebOps.normalizeUrl(col("url"))).collect()
       .map(_.getString(0))
+    // host edge shapes the derived gate urls never produce: port and
+    // userinfo stripped by parse_url; URI-invalid underscore host rescued
+    // by the regex fallback instead of merging into a null bucket
+    val hosts = Seq((0L, "https://a.com:8080/x"), (1L, "https://u:p@b.org/y"),
+      (2L, "https://my_site.com/z")).toDF("doc_id", "url")
+      .select(WebOps.hostOf(col("url"))).collect().map(_.getString(0))
+    assert(hosts.toSeq == Seq("a.com", "b.org", "my_site.com"))
     assert(norm(0) == "https://site7.com/p/12")
     assert(norm(1) == "https://site7.com/p/12")
     assert(norm(2) == "https://site7.com/p/12")
