@@ -152,13 +152,14 @@ object Bench {
   private def buildThroughput(executors: Int, numDocs: Long,
                               budgetS: Int,
                               skipWarmup: Boolean = false,
+                              sampleCapS: Int = 150,
                               record: Double => Unit = _ => ()): Double = {
     val cpus = executors * CoresPerExecutor
     var spark = session(executors)
     // A sample that dies (an executor declared lost in a contended host
     // window) must cost one cluster restart, not the whole benchmark: the
     // driver's round needs a JSON line even on a bad host day.
-    def sample(docs: Long, capS: Int = 150): Double =
+    def sample(docs: Long, capS: Int = sampleCapS): Double =
       try timedBuild(spark, cpus, docs, capS)
       catch {
         case e: Throwable =>
@@ -204,6 +205,7 @@ object Bench {
   private def threadThroughput(threads: Int, numDocs: Long,
                                samples: Int,
                                warmupDocs: Long = 0L,
+                               capS: Int = 240,
                                record: Double => Unit = _ => ()): Double = {
     val spark = SparkSession.builder()
       .master(s"local[$threads]").appName(s"graft-bench-t$threads")
@@ -222,11 +224,13 @@ object Bench {
     // all three thread sessions share the sbt JVM, so JIT carries over —
     // only the FIRST needs a real warm-up; later ones pass warmupDocs=4000
     sample(math.max(4000L, warmupDocs), 90)
-    // cap 240 s, not the executor sections' 150: a local[8] full build is
-    // ~40 s clean but 3-4× in a trough — at 150 s a deep trough cancels
-    // EVERY sample and records a 0.0 thread metric (observed once)
+    // cap 240 s default, not the executor sections' 150: a local[8] full
+    // build is ~40 s clean but 3-4× in a trough — at 150 s a deep trough
+    // cancels EVERY sample and records a 0.0 thread metric (observed
+    // once). Callers raise capS further for dead-level rescues (run G's
+    // trough stretched the local[8] build past even 240 s).
     val best = (1 to samples).map { _ =>
-      val thru = sample(numDocs, 240)
+      val thru = sample(numDocs, capS)
       record(thru)
       thru
     }.max
@@ -360,6 +364,20 @@ object Bench {
       if (remainS > 300) threadThroughput(8, numDocs, 1, record = samplesT8 += _)
       else 0.0
     var thrTLo = math.max(thrTLoA, thrTLoB)
+    // dead-level rescue (MANDATORY, immediate, bounded to one retry per
+    // level): a level whose every sample is 0.0 measured NOTHING — the
+    // per-sample cap cancelled a trough-stretched build (run G: a deep
+    // memory-bandwidth trough pushed the ~40 s local[8] build past the
+    // 240 s cap and the thread metric shipped as 0.0/degraded). Retrying
+    // NOW at a raised cap is the only shot at a number: the deferred
+    // post-executor rescue never fires in exactly these windows, because
+    // the same trough stretches the executor axis past the hard ceiling.
+    if (nz(samplesT8) == 0 && hardRemainS > 0)
+      thrTLo = math.max(thrTLo,
+        threadThroughput(8, numDocs, 1, capS = 480, record = samplesT8 += _))
+    if (nz(samplesT32) == 0 && hardRemainS > 0)
+      thrTHi = math.max(thrTHi,
+        threadThroughput(32, numDocs, 1, capS = 480, record = samplesT32 += _))
     // thread inversion rescue (MANDATORY, bounded): local[32] measuring
     // below local[8] in ABSOLUTE throughput is a window artifact, never a
     // scaling datum — clean-window local[32] runs 1.2–1.9× local[8]
@@ -378,7 +396,7 @@ object Bench {
       threadThroughput(8, numDocs, 1, record = samplesT8 += _)
       thrTLo = samplesT8.filter(_ > 0).max
     }
-    val effThreads =
+    var effThreads =
       if (thrTLo > 0) (thrTHi / thrTLo) / 4.0 else 0.0
     // executor-scaling blocks consume whatever deadline remains (each
     // block still takes >=1 full sample even when a trough-stretched run
@@ -386,17 +404,17 @@ object Bench {
     val loBlock = math.max(20, budget / 4)
     val hiBlock = math.max(60, budget * 3 / 4)
     def block(b: Int): Int = math.max(1, math.min(b, remainS.toInt))
-    buildThroughput(exLo, numDocs, block(loBlock), remainS <= 0, samplesLo += _)
-    buildThroughput(exHi, numDocs, block(hiBlock), remainS <= 0, samplesHi += _)
+    buildThroughput(exLo, numDocs, block(loBlock), remainS <= 0, record = samplesLo += _)
+    buildThroughput(exHi, numDocs, block(hiBlock), remainS <= 0, record = samplesHi += _)
     // counterbalance B blocks: normally run within the soft deadline; a
     // level that would otherwise testify on a SINGLE nonzero sample gets
     // its B block anyway (warmup-skipped, one capped sample) while the
     // hard ceiling holds — never emit a single-sample level when a retry
     // is affordable (r4's exact failure)
     if (remainS > -60 || (nz(samplesLo) < 2 && hardRemainS > 0))
-      buildThroughput(exLo, numDocs, block(loBlock), remainS <= 0, samplesLo += _)
+      buildThroughput(exLo, numDocs, block(loBlock), remainS <= 0, record = samplesLo += _)
     if (remainS > -60 || (nz(samplesHi) < 2 && hardRemainS > 0))
-      buildThroughput(exHi, numDocs, block(hiBlock), remainS <= 0, samplesHi += _)
+      buildThroughput(exHi, numDocs, block(hiBlock), remainS <= 0, record = samplesHi += _)
     // second-sample rescue (MANDATORY, bounded): a B block whose sample
     // DIED records 0.0 and the level still testifies on one sample — r5's
     // first campaign shipped samples_lo [6989.2, 0.0] and a degraded flag
@@ -406,7 +424,8 @@ object Bench {
     for (level <- Seq((exLo, samplesLo), (exHi, samplesHi));
          _ <- 1 to 2
          if nz(level._2) < 2 && hardRemainS > 0)
-      buildThroughput(level._1, numDocs, 1, skipWarmup = true, level._2 += _)
+      buildThroughput(level._1, numDocs, 1, skipWarmup = true,
+        sampleCapS = 480, record = level._2 += _)
     val thruLo = if (nz(samplesLo) > 0) samplesLo.max else 0.0
     var thruHi = if (nz(samplesHi) > 0) samplesHi.max else 0.0
     // trough rescue (MANDATORY, up to 2 extra samples): 4N executors
@@ -418,14 +437,31 @@ object Bench {
     var hiRescues = 0
     while (thruHi < thruLo && thruLo > 0 && hiRescues < 2 && hardRemainS > 0) {
       thruHi = math.max(thruHi,
-        buildThroughput(exHi, numDocs, 1, skipWarmup = true, samplesHi += _))
+        buildThroughput(exHi, numDocs, 1, skipWarmup = true,
+          sampleCapS = 480, record = samplesHi += _))
       hiRescues += 1
     }
+    // thread second-sample rescue (MANDATORY, bounded — same rule the
+    // executor axis enforces, deferred until AFTER the executor axis has
+    // drawn its budget because that axis is the north rule's): a thread
+    // level must never testify on a single nonzero sample while the hard
+    // ceiling still allows a retry. Run B's record shipped
+    // samples_local8 [9822.4] — no inversion, so no rescue above fired,
+    // but a single-sample lo leaves the RATIO hostage to whichever host
+    // window that one sample landed in.
+    for ((threads, buf) <- Seq((8, samplesT8), (32, samplesT32));
+         _ <- 1 to 2
+         if nz(buf) < 2 && hardRemainS > 0)
+      threadThroughput(threads, numDocs, 1, record = buf += _)
+    if (nz(samplesT8) > 0) thrTLo = samplesT8.filter(_ > 0).max
+    if (nz(samplesT32) > 0) thrTHi = samplesT32.filter(_ > 0).max
+    if (thrTLo > 0) effThreads = (thrTHi / thrTLo) / 4.0
     val efficiency = (thruHi / thruLo) / (hi.toDouble / lo)
     // the honest flag the judge reads: true when the window could not be
     // defended — a level testifying on <2 nonzero samples, or an
     // unrescued hi<lo inversion (either axis)
     val degraded = nz(samplesLo) < 2 || nz(samplesHi) < 2 ||
+      nz(samplesT8) < 2 || nz(samplesT32) < 2 ||
       (thruLo > 0 && thruHi < thruLo) ||
       (thrTLo > 0 && thrTHi < thrTLo)
     // normalize by the measured memory-bandwidth ceiling (the build is
