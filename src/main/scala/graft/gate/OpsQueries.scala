@@ -775,6 +775,67 @@ FROM documents""")),
       Some("""SELECT doc_id, f AS frame_idx,
        ascii(substring(text, f * 64 + 1, 1)) AS frame_byte
 FROM documents, range(0, 16) AS r(f)
-WHERE f < octet_length(encode(text)) // 64"""))
+WHERE f < octet_length(encode(text)) // 64""")),
+
+    // --- crawl-source plumbing ---------------------------------------------
+    // WARC round-trip + HTML extraction — this gate IS the input_hint's
+    // per-row invariant (extracted text byte-identical per url): documents
+    // become HTML pages (text entity-encoded, wrapped in doctype / script /
+    // style / comment boilerplate the extractor must drop), written as
+    // per-record-gzip WARC files (one per partition; every 3rd record uses
+    // chunked transfer-encoding to exercise the de-chunker), then parsed
+    // back by WarcSource and extracted by HtmlText. The driver hash-compares
+    // (url, text) against the documents table directly, so any drift in the
+    // writer, the record parser, the de-chunker, or the extractor is a hash
+    // mismatch. The only driver-side collect is the 4 written file paths.
+    GateQuery("q_src_warc_text",
+      (s, d) => {
+        import s.implicits._
+        val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft-gate-warc-" + math.abs(d.hashCode))
+        dir.mkdirs()
+        val base = dir.getAbsolutePath
+        withUrls(docs(s, d))
+          .select(col("doc_id"), col("url"), col("text"))
+          .repartition(4, col("doc_id"))
+          .as[(Long, String, String)]
+          .mapPartitions { it =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val pages = it.map { case (id, url, text) =>
+              val html =
+                ("<!DOCTYPE html>\n<html><head>" +
+                 "<script>var t = \"<p>1 < 2\";</script>" +
+                 "<style>p { color: red }</style></head><body>\n" +
+                 "<!-- boilerplate nav -->\n<p>" +
+                 text.replace(" ", "&#32;") +
+                 "</p>\n</body></html>")
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              graft.model.Page(url,
+                new java.sql.Timestamp((1700000000L + id) * 1000L),
+                html, text, "en")
+            }
+            val f = new java.io.File(base, f"part-$pid%05d.warc.gz")
+            val out = new java.io.BufferedOutputStream(
+              new java.io.FileOutputStream(f), 1 << 16)
+            try {
+              // leading warcinfo record as its own gzip member (the real
+              // Common Crawl layout); the reader must skip it
+              val b = new java.io.ByteArrayOutputStream()
+              val gz = new java.util.zip.GZIPOutputStream(b)
+              gz.write(graft.sources.WarcSource.warcinfoRecord()); gz.close()
+              out.write(b.toByteArray)
+              graft.sources.WarcSource.write(pages, out,
+                gzip = true, chunkedEvery = 3)
+            } finally out.close()
+            Iterator.single(f.getAbsolutePath)
+          }.collect()
+        val rows = graft.sources.WarcSource.read(s, s"$base/*.warc.gz")
+          .as[graft.sources.WarcSource.WarcRow]
+        graft.sources.WarcSource
+          .toPages(rows, graft.sources.HtmlText.extract)
+          .select(col("url"), col("text"))
+      },
+      Some(s"""WITH $urlCte
+SELECT url, text FROM u"""))
   )
 }
