@@ -791,44 +791,7 @@ WHERE f < octet_length(encode(text)) // 64""")),
     GateQuery("q_src_warc_text",
       (s, d) => {
         import s.implicits._
-        val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-          "graft-gate-warc-" + math.abs(d.hashCode))
-        dir.mkdirs()
-        val base = dir.getAbsolutePath
-        withUrls(docs(s, d))
-          .select(col("doc_id"), col("url"), col("text"))
-          .repartition(4, col("doc_id"))
-          .as[(Long, String, String)]
-          .mapPartitions { it =>
-            val pid = org.apache.spark.TaskContext.getPartitionId()
-            val pages = it.map { case (id, url, text) =>
-              val html =
-                ("<!DOCTYPE html>\n<html><head>" +
-                 "<script>var t = \"<p>1 < 2\";</script>" +
-                 "<style>p { color: red }</style></head><body>\n" +
-                 "<!-- boilerplate nav -->\n<p>" +
-                 text.replace(" ", "&#32;") +
-                 "</p>\n</body></html>")
-                  .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-              graft.model.Page(url,
-                new java.sql.Timestamp((1700000000L + id) * 1000L),
-                html, text, "en")
-            }
-            val f = new java.io.File(base, f"part-$pid%05d.warc.gz")
-            val out = new java.io.BufferedOutputStream(
-              new java.io.FileOutputStream(f), 1 << 16)
-            try {
-              // leading warcinfo record as its own gzip member (the real
-              // Common Crawl layout); the reader must skip it
-              val b = new java.io.ByteArrayOutputStream()
-              val gz = new java.util.zip.GZIPOutputStream(b)
-              gz.write(graft.sources.WarcSource.warcinfoRecord()); gz.close()
-              out.write(b.toByteArray)
-              graft.sources.WarcSource.write(pages, out,
-                gzip = true, chunkedEvery = 3)
-            } finally out.close()
-            Iterator.single(f.getAbsolutePath)
-          }.collect()
+        val base = warcFixture(s, d)
         val rows = graft.sources.WarcSource.read(s, s"$base/*.warc.gz")
           .as[graft.sources.WarcSource.WarcRow]
         graft.sources.WarcSource
@@ -836,6 +799,82 @@ WHERE f < octet_length(encode(text)) // 64""")),
           .select(col("url"), col("text"))
       },
       Some(s"""WITH $urlCte
-SELECT url, text FROM u"""))
+SELECT url, text FROM u""")),
+
+    // CDX random access over the same files: index the gzip members
+    // (exact compressed offset/length per record), range-sort into a CDX,
+    // then fetch a deterministic url subset with grouped point reads and
+    // extract — certifying entries → buildCdx → fetchDocs → HtmlText
+    // against the source table without ever rescanning the "crawl".
+    GateQuery("q_src_warc_fetch",
+      (s, d) => {
+        import s.implicits._
+        val base = warcFixture(s, d)
+        val cdx = graft.sources.WarcIndex.buildCdx(
+          graft.sources.WarcIndex.entries(s, s"$base/*.warc.gz"))
+        val want = withUrls(docs(s, d))
+          .filter(col("doc_id") % 7 === 0).select("url")
+        graft.sources.WarcIndex.fetchDocs(cdx, want)
+          .select(col("url"),
+            udf((h: Array[Byte]) => graft.sources.HtmlText.extract(h))
+              .apply(col("html")).as("text"))
+      },
+      Some(s"""WITH $urlCte
+SELECT url, text FROM u
+WHERE doc_id % 7 = 0"""))
   )
+
+  /** Write the documents table as Common-Crawl-layout WARC files (one
+    * `.warc.gz` per partition: warcinfo head member, then one gzip member
+    * per response; every 3rd response chunked) — once per JVM per sfDir,
+    * shared by the q_src_warc_* gates. Pages wrap the text in
+    * entity-encoded HTML boilerplate that [[graft.sources.HtmlText]]
+    * must strip back to the byte-identical text column.
+    */
+  private val warcDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def warcFixture(s: SparkSession, d: String): String =
+    warcDirs.getOrElseUpdate(d, {
+      import s.implicits._
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-gate-warc-" + math.abs(d.hashCode))
+      dir.mkdirs()
+      val base = dir.getAbsolutePath
+      withUrls(docs(s, d))
+        .select(col("doc_id"), col("url"), col("text"))
+        .repartition(4, col("doc_id"))
+        .as[(Long, String, String)]
+        .mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val pages = it.map { case (id, url, text) =>
+            val html =
+              ("<!DOCTYPE html>\n<html><head>" +
+               "<script>var t = \"<p>1 < 2\";</script>" +
+               "<style>p { color: red }</style></head><body>\n" +
+               "<!-- boilerplate nav -->\n<p>" +
+               text.replace(" ", "&#32;") +
+               "</p>\n</body></html>")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            graft.model.Page(url,
+              new java.sql.Timestamp((1700000000L + id) * 1000L),
+              html, text, "en")
+          }
+          val f = new java.io.File(base, f"part-$pid%05d.warc.gz")
+          val out = new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(f), 1 << 16)
+          try {
+            // leading warcinfo record as its own gzip member (the real
+            // Common Crawl layout); readers must skip or index past it
+            val b = new java.io.ByteArrayOutputStream()
+            val gz = new java.util.zip.GZIPOutputStream(b)
+            gz.write(graft.sources.WarcSource.warcinfoRecord()); gz.close()
+            out.write(b.toByteArray)
+            graft.sources.WarcSource.write(pages, out,
+              gzip = true, chunkedEvery = 3)
+          } finally out.close()
+          Iterator.single(f.getAbsolutePath)
+        }.collect()
+      base
+    })
 }
