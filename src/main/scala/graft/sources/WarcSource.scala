@@ -100,9 +100,16 @@ object WarcSource {
 
   /** Stream-parse one WARC file (plain or gzip, incl. multi-member
     * per-record gzip) into response rows. Package-private for the spec.
+    *
+    * With `skipPayload` the record BODY is skipped instead of
+    * materialized (html empty, status 0, mime "") — the column-pruning
+    * fast path for scans that only need url/timestamp/file: on plain
+    * files the payload bytes are never read, on gzip they are inflated
+    * but never buffered, so a metadata-only pass allocates nothing per
+    * record beyond the headers.
     */
-  private[graft] def parseStream(raw: InputStream,
-                                 file: String): Iterator[WarcRow] = {
+  private[graft] def parseStream(raw: InputStream, file: String,
+                                 skipPayload: Boolean = false): Iterator[WarcRow] = {
     val buf = new BufferedInputStream(raw, 1 << 16)
     buf.mark(2)
     val m0 = buf.read(); val m1 = buf.read()
@@ -116,7 +123,7 @@ object WarcSource {
       private var done = false
       private def advance(): Unit = {
         while (nextRow == null && !done) {
-          parseRecord(in, file) match {
+          parseRecord(in, file, skipPayload) match {
             case ParsedRow(r)  => nextRow = r
             case SkippedRecord => // non-response / unparsable: keep going
             case EndOfStream   => done = true
@@ -143,7 +150,8 @@ object WarcSource {
     * type (warcinfo, request, metadata…) or with an unparsable HTTP
     * payload is skipped.
     */
-  private def parseRecord(in: DataInputStream, file: String): ParseResult =
+  private def parseRecord(in: DataInputStream, file: String,
+                          skipPayload: Boolean = false): ParseResult =
     try {
       var version = readLine(in)
       // tolerate extra blank lines between records (some writers pad)
@@ -170,8 +178,9 @@ object WarcSource {
         line = readLine(in)
       }
       if (line == null || len < 0 || len > MaxRecordBytes) return EndOfStream
-      val payload = new Array[Byte](len.toInt)
-      in.readFully(payload)
+      val payload =
+        if (skipPayload) { skipExact(in, len); Array.emptyByteArray }
+        else { val p = new Array[Byte](len.toInt); in.readFully(p); p }
       // record trailer: two CRLFs (tolerate their absence at EOF)
       skipCrlf(in); skipCrlf(in)
       if (warcType != "response" || uri.isEmpty) return SkippedRecord
@@ -180,7 +189,11 @@ object WarcSource {
       val tsOpt = parseWarcDate(date)
       if (tsOpt.isEmpty) return SkippedRecord
       val ts = tsOpt.get
-      if (ctype.toLowerCase(java.util.Locale.ROOT).startsWith("application/http")) {
+      if (skipPayload) {
+        // metadata-only row: the payload (and with it status/mime, which
+        // live in the stored HTTP head) was skipped, not parsed
+        ParsedRow(WarcRow(uri, ts, Array.emptyByteArray, 0, "", file))
+      } else if (ctype.toLowerCase(java.util.Locale.ROOT).startsWith("application/http")) {
         parseHttp(payload) match {
           case Some((status, mime, body)) =>
             ParsedRow(WarcRow(uri, ts, body, status, mime, file))
@@ -296,6 +309,16 @@ object WarcSource {
     val n = if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r')
       bytes.length - 1 else bytes.length
     new String(bytes, 0, n, StandardCharsets.ISO_8859_1)
+  }
+
+  /** Skip exactly `n` payload bytes (skip() may return short). */
+  private def skipExact(in: DataInputStream, n: Long): Unit = {
+    var left = n
+    while (left > 0) {
+      val s = in.skip(left)
+      if (s > 0) left -= s
+      else { if (in.read() < 0) throw new EOFException(); left -= 1 }
+    }
   }
 
   private def skipCrlf(in: DataInputStream): Unit = {
