@@ -76,7 +76,8 @@ private final class WarcTable(paths: Seq[String]) extends Table with SupportsRea
   override def name(): String = s"warc(${paths.mkString(",")})"
   override def schema(): StructType = WarcDataSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(paths)
 }
@@ -96,7 +97,23 @@ private final class WarcScan(paths: Seq[String], required: StructType)
   override def description(): String =
     s"warc scan, columns [${required.fieldNames.mkString(", ")}]"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    WarcScan.listFiles(paths)
+      .map(f => WarcInputPartition(f): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    WarcScan.readerFactory(required)
+
+  override def toMicroBatchStream(checkpointLocation: String) =
+    new WarcMicroBatchStream(paths, required)
+}
+
+private object WarcScan {
+  /** Resolve load paths (globs, directories) to a deterministic sorted
+    * file list — shared by the batch planner and the streaming source
+    * (whose offsets are positions in this order).
+    */
+  def listFiles(paths: Seq[String]): Seq[String] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     paths.flatMap { str =>
       val p = new Path(str)
@@ -106,14 +123,70 @@ private final class WarcScan(paths: Seq[String], required: StructType)
         else Seq(st)
       }
     }.map(_.getPath.toString).distinct.sorted
-      .map(f => WarcInputPartition(f): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
+  def readerFactory(required: StructType): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
     new WarcReaderFactory(conf, required)
   }
+}
+
+/** Streaming ingestion — `spark.readStream.format("warc").load(dir)`:
+  * each micro-batch processes the WARC FILES that appeared since the
+  * last batch (a crawl grows file-at-a-time; records within a file are
+  * immutable once written, the same assumption FileStreamSource makes).
+  * The offset is the sorted set of files already assigned to batches,
+  * so recovery from the checkpoint re-plans exactly the unprocessed
+  * files; one InputPartition per new file, same reader (and the same
+  * payload-skip pruning) as the batch path. Downstream this feeds the
+  * existing streaming index build (`graft.streaming`) — crawl files in,
+  * index store out, exactly-once per file.
+  */
+private final class WarcMicroBatchStream(paths: Seq[String],
+                                         required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  /** Offset = JSON array of every file already visible to the stream,
+    * sorted. Monotone under file arrival; human-readable in the
+    * checkpoint.
+    */
+  private case class FilesOffset(files: Seq[String]) extends Offset {
+    override def json(): String =
+      files.sorted.map(f => "\"" + f.replace("\\", "\\\\")
+        .replace("\"", "\\\"") + "\"").mkString("[", ",", "]")
+  }
+
+  private def parse(o: Offset): Seq[String] = o match {
+    case FilesOffset(fs) => fs
+    case other =>
+      val js = other.json().trim
+      if (js == "[]" || js.isEmpty) Seq.empty
+      else js.stripPrefix("[").stripSuffix("]").split("\",\"")
+        .map(_.stripPrefix("\"").stripSuffix("\"")
+          .replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+  }
+
+  override def initialOffset(): Offset = FilesOffset(Seq.empty)
+  override def latestOffset(): Offset =
+    FilesOffset(WarcScan.listFiles(paths))
+  override def deserializeOffset(json: String): Offset = {
+    val js = json
+    FilesOffset(parse(new Offset { override def json(): String = js }))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val done = parse(start).toSet
+    parse(end).filterNot(done)
+      .sorted.map(f => WarcInputPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    WarcScan.readerFactory(required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private case class WarcInputPartition(file: String) extends InputPartition

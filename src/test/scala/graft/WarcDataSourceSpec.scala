@@ -71,6 +71,31 @@ class WarcDataSourceSpec extends AnyFunSuite {
     assert(v2.count() == N)
   }
 
+  test("readStream ingests files exactly once as they arrive") {
+    val root = java.nio.file.Files.createTempDirectory("warcv2-stream")
+    val data = root.resolve("data"); java.nio.file.Files.createDirectory(data)
+    def writeFile(name: String, slice: Seq[graft.model.Page]): Unit = {
+      val gz = new FileOutputStream(s"$data/$name")
+      WarcSource.write(slice.iterator, gz, gzip = true)
+      gz.close()
+    }
+    writeFile("a.warc.gz", pages.take(10))
+    val q = spark.readStream.format("warc").load(data.toString)
+      .select("url", "warc_file")
+      .writeStream.format("memory").queryName("warc_stream_spec")
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("warc_stream_spec").count() == 10)
+      // a new file arrives: ONLY its records join the stream
+      writeFile("b.warc.gz", pages.slice(10, 16))
+      q.processAllAvailable()
+      val rows = spark.table("warc_stream_spec").collect()
+      assert(rows.length == 16)
+      assert(rows.map(_.getString(0)).distinct.length == 16) // no re-reads
+    } finally q.stop()
+  }
+
   test("predicates evaluate above the scan without loss") {
     val some = spark.read.format("warc").load(s"$dir/*.warc.gz")
       .filter(org.apache.spark.sql.functions.col("http_status") === 200)
