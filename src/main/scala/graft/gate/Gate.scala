@@ -73,13 +73,42 @@ object StoreCache {
     graft.index.IndexStore.open(spark, dir, 16)
   }
 
+  /** Deterministic per-sfDir store dir. Version tag: a stale store from an
+    * older BLOB FORMAT must not be reused across rounds (manifests would
+    * happily skip the rebuild).
+    */
+  def dirFor(sfDir: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft-gate-store-v2-" + math.abs(sfDir.hashCode)).getAbsolutePath
+
+  def documentsStore(spark: SparkSession, sfDir: String): graft.index.ParquetIndex =
+    cache.getOrElseUpdate(sfDir, buildInto(spark, sfDir, dirFor(sfDir)))
+}
+
+/** Shared per-sfDir DELETED store: IndexStore.deleteDocs of every url with
+  * doc_id % 7 == 3 out of the shared full store (StoreCache) — the
+  * recrawl-invalidation / takedown shape. docIds stay stable (urls are
+  * zero-padded doc_ids, so the survivors keep docId == doc_id) and all
+  * collection stats shrink to the remaining corpus, which the oracle
+  * mirrors with a WHERE on the documents table.
+  */
+object DeletedStoreCache {
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.index.ParquetIndex]
+
   def documentsStore(spark: SparkSession, sfDir: String): graft.index.ParquetIndex =
     cache.getOrElseUpdate(sfDir, {
-      // version tag: a stale store from an older BLOB FORMAT must not be
-      // reused across rounds (manifests would happily skip the rebuild)
-      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-gate-store-v2-" + math.abs(sfDir.hashCode)).getAbsolutePath
-      buildInto(spark, sfDir, dir)
+      StoreCache.documentsStore(spark, sfDir) // ensure the source store
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-gate-delete-v1-" + math.abs(sfDir.hashCode)).getAbsolutePath
+      if (!graft.index.IndexStore.isCommitted(out, "collstats")) {
+        val urls = spark.read.parquet(s"$sfDir/documents.parquet")
+          .filter(col("doc_id") % 7 === 3)
+          .select(format_string("doc%08d", col("doc_id")).as("url"))
+        graft.index.IndexStore.deleteDocs(spark, StoreCache.dirFor(sfDir),
+          out, urls, graft.index.BuildConf(termBuckets = 16))
+      }
+      graft.index.IndexStore.open(spark, out, 16)
     })
 }
 
@@ -132,6 +161,49 @@ object StreamStoreCache {
     })
 }
 
+/** Shared per-sfDir MERGED store: the documents table split into two
+  * halves by doc_id (the daily-crawl-increment shape — urls are
+  * zero-padded doc_ids, so the split is by url order), each half built
+  * as its own sealed store, then compacted with IndexStore.mergeStores.
+  * All half-A urls sort before half-B urls, so the merged store's dense
+  * docId space equals a full build's and the full-corpus oracle applies
+  * unchanged — the gate certifies byte-level blob rebasing + algebraic
+  * stats merging end-to-end through BM25 scoring.
+  */
+object MergedStoreCache {
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.index.ParquetIndex]
+
+  def buildInto(spark: SparkSession, sfDir: String,
+                base: String): graft.index.ParquetIndex = {
+    val conf = graft.index.BuildConf(numSlices = 1, numBuckets = 8,
+      termBuckets = 16, shufflePartitions = 8)
+    if (!graft.index.IndexStore.isCommitted(s"$base/ab", "collstats")) {
+      val pages = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          format_string("doc%08d", col("doc_id")).as("url"),
+          lit(null).cast("timestamp").as("warc_ts"),
+          lit(null).cast("binary").as("html"),
+          col("text"), lit("en").as("lang"))
+      val half = pages.agg(max("doc_id")).collect()(0).getLong(0) / 2 + 1
+      graft.index.IndexStore.build(
+        pages.filter(col("doc_id") < half).drop("doc_id"), s"$base/a", conf)
+      graft.index.IndexStore.build(
+        pages.filter(col("doc_id") >= half).drop("doc_id"), s"$base/b", conf)
+      graft.index.IndexStore.mergeStores(spark, s"$base/a", s"$base/b",
+        s"$base/ab", conf)
+    }
+    graft.index.IndexStore.open(spark, s"$base/ab", 16)
+  }
+
+  def documentsStore(spark: SparkSession, sfDir: String): graft.index.ParquetIndex =
+    cache.getOrElseUpdate(sfDir, {
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-gate-merge-v1-" + math.abs(sfDir.hashCode)).getAbsolutePath
+      buildInto(spark, sfDir, base)
+    })
+}
+
 /** DuckDB SQL building blocks shared by the IR oracle queries. The
   * tokenization must match graft.analysis.Tokenizer bit-for-bit:
   * lower + split on [^a-z0-9]+ with empties dropped.
@@ -144,14 +216,14 @@ object OracleSql {
     * collection stats, like the reference's config-injected N/avgdl);
     * `tstat` = (term, df, cf) for the selected field.
     */
-  def prelude(field: String = "default"): String = {
+  def prelude(field: String = "default", where: String = ""): String = {
     val slice = field match {
       case "default" => "ts"
       case "title"   => s"ts[1:${IndexCache.TitleTokens}]"
       case "body"    => s"ts[${IndexCache.TitleTokens + 1}:]"
     }
     s"""WITH toksrc AS (
-  SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS ts FROM documents
+  SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS ts FROM documents $where
 ),
 ftok AS (
   SELECT doc_id, unnest($slice) AS term FROM toksrc

@@ -103,6 +103,57 @@ SELECT doc_id, rank, score FROM (
     GROUP BY 1))
 WHERE rank <= 20""")),
 
+    // End-to-end through a MERGED store (IndexStore.mergeStores): the
+    // corpus split into two url-ordered half stores and compacted — byte
+    // rebased B blobs, summed termstats, recomputed collstats — then
+    // queried like any store. The full-corpus oracle applies unchanged
+    // because the merged docId space equals a full build's.
+    GateQuery("q_ir_merge_bm25",
+      (s, d) => {
+        val e = new Engine(MergedStoreCache.documentsStore(s, d), BM25())
+        e.search("join stream group", 20, bm25Parser)
+          .select(col("docId").as("doc_id"), col("rank"),
+            round(col("score"), 6).as("score"))
+      },
+      Some(s"""${prelude()}
+SELECT doc_id, rank, score FROM (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY scoreraw DESC, doc_id DESC) AS rank,
+         round(scoreraw, 6) AS score
+  FROM (
+    SELECT p.doc_id AS doc_id, sum(${bm25("p.tf", "d.dl", "t.df")}) AS scoreraw
+    FROM post p JOIN dlen d USING (doc_id) JOIN tstat t USING (term)
+    CROSS JOIN stats s
+    WHERE p.term IN ('join', 'stream', 'group')
+    GROUP BY 1))
+WHERE rank <= 20""")),
+
+    // End-to-end through a store with DELETED documents
+    // (IndexStore.deleteDocs): every doc_id % 7 == 3 url removed from the
+    // full store — range-pruned blob rewrite, recomputed term/coll stats.
+    // Survivor docIds stay stable, so the oracle is the same BM25 SQL with
+    // the delete predicate pushed onto the documents table (df, cf, N,
+    // avgdl all shrink to the remaining corpus on both sides).
+    GateQuery("q_ir_delete_bm25",
+      (s, d) => {
+        val e = new Engine(DeletedStoreCache.documentsStore(s, d), BM25())
+        e.search("scan hash part", 20, bm25Parser)
+          .select(col("docId").as("doc_id"), col("rank"),
+            round(col("score"), 6).as("score"))
+      },
+      Some(s"""${prelude(where = "WHERE NOT (doc_id % 7 = 3)")}
+SELECT doc_id, rank, score FROM (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY scoreraw DESC, doc_id DESC) AS rank,
+         round(scoreraw, 6) AS score
+  FROM (
+    SELECT p.doc_id AS doc_id, sum(${bm25("p.tf", "d.dl", "t.df")}) AS scoreraw
+    FROM post p JOIN dlen d USING (doc_id) JOIN tstat t USING (term)
+    CROSS JOIN stats s
+    WHERE p.term IN ('scan', 'hash', 'part')
+    GROUP BY 1))
+WHERE rank <= 20""")),
+
     // trec_eval over an engine-produced run: BM25 top-50 for three
     // single-term queries, judged set = docs containing the term
     // (relevant iff tf >= 2) — fully deterministic from the documents

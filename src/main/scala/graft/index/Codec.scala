@@ -269,6 +269,29 @@ object Codec {
         bOff.toArray, bMaxTf.toArray, bMinDl.toArray, bN.toArray)
   }
 
+  /** Rebase a segment blob's docId space by +delta without decoding it:
+    * docIds are stored as deltas and only the FIRST vlong is absolute (the
+    * first docId's delta from 0), so the rebase rewrites that one vlong and
+    * copies every other byte verbatim — interior deltas, dls, and position
+    * runs are offset-invariant. Returns the new blob and the header SHIFT
+    * (new first-vlong length − old), which callers apply to every stored
+    * block offset except block 0 (always byte 0 of the blob).
+    * This is what makes store merging ([[graft.index.IndexStore.mergeStores]])
+    * an O(bytes) copy instead of a decode/re-encode of every posting.
+    */
+  def rebaseBlob(blob: Array[Byte], delta: Long): (Array[Byte], Int) = {
+    val in = new Input(blob)
+    val first = in.readVLong() // the absolute first docId
+    val oldHdr = in.pos
+    val head = new Output(10)
+    head.writeVLong(first + delta)
+    val hb = head.toBytes
+    val res = new Array[Byte](hb.length + blob.length - oldHdr)
+    System.arraycopy(hb, 0, res, 0, hb.length)
+    System.arraycopy(blob, oldHdr, res, hb.length, blob.length - oldHdr)
+    (res, hb.length - oldHdr)
+  }
+
   /** Encode postings (MUST be pre-sorted ascending by docId). */
   def encode(postings: Iterator[Posting]): Segment = {
     val out = new Output()

@@ -436,8 +436,16 @@ object IndexStore {
     Await.result(fDocstats, Duration.Inf)
     mark("docstats")
 
+    writeCollstats(spark, out)
+    mark("collstats")
+  }
+
+  /** stage 5: collstats.json from the already-built small tables (no
+    * postings rescan) — shared by the batch build, the streaming seal,
+    * and the store merge.
+    */
+  private def writeCollstats(spark: SparkSession, out: String): Unit = {
     if (!isCommitted(out, "collstats")) {
-      // derived from the already-built small tables — no postings rescan
       val ds = spark.read.parquet(s"$out/docstats")
       val dcRow = ds.agg(
         sum(when(col("len_default") > 0, 1L).otherwise(0L)),
@@ -461,7 +469,237 @@ object IndexStore {
         rows.mkString("{\n", ",\n", "\n}"))
       commit(out, "collstats", Map("fields" -> rows.length.toLong))
     }
-    mark("collstats")
+  }
+
+  // ----------------------------------------------------------------- merge
+
+  /** Merge two SEALED stores into a third — the maintenance operation of a
+    * long-lived index (each crawl increment builds its own small store;
+    * merge compacts them into one without touching the corpus). B's docId
+    * space is appended after A's (every B docId += A's doc count), AT THE
+    * BYTE LEVEL: [[Codec.rebaseBlob]] rewrites one vlong per segment and
+    * copies the rest verbatim, so no posting is decoded and the cost is a
+    * single O(bytes) pass. No shuffle either: both input segment tables
+    * are already clustered by their (field, tb) output directories, so the
+    * partitionBy write reuses the input clustering (each scan task holds
+    * rows of one directory). Derived tables merge algebraically — termstats
+    * df/cf add per (term, field), docstats/docmap union with the offset,
+    * collstats recomputes from the merged small tables. Every stage
+    * commits a manifest, so an interrupted or repeated merge resumes /
+    * no-ops exactly like the build.
+    *
+    * Preconditions: both stores sealed (collstats committed), built with
+    * the SAME termBuckets (conf.termBuckets must match them — term→tb
+    * placement is the store's lookup contract), and disjoint url sets
+    * (crawl increments; urls are not deduplicated here — that is
+    * [[graft.ops.WebOps.urlDedup]]'s job upstream).
+    */
+  def mergeStores(spark: SparkSession, aDir: String, bDir: String,
+                  out: String, conf: BuildConf = BuildConf()): Unit = {
+    import spark.implicits._
+    require(isCommitted(aDir, "collstats") && isCommitted(bDir, "collstats"),
+      s"mergeStores needs two sealed stores (collstats manifest missing)")
+    Files.createDirectories(Paths.get(out))
+    val nA = manifestCounter(aDir, "docmap", "docs")
+    val nB = manifestCounter(bDir, "docmap", "docs")
+
+    if (!isCommitted(out, "docmap")) {
+      spark.read.parquet(s"$aDir/docmap")
+        .unionByName(spark.read.parquet(s"$bDir/docmap")
+          .withColumn("docId", col("docId") + nA))
+        .write.mode(SaveMode.Overwrite)
+        .option("parquet.block.size", (16L << 20).toString)
+        .parquet(s"$out/docmap")
+      commit(out, "docmap", Map("docs" -> (nA + nB)))
+    }
+
+    if (!isCommitted(out, "segments")) {
+      val segCols = Seq("term", "field", "bucket", "n", "firstDocId",
+        "lastDocId", "segCf", "blob", "blockFirst", "blockOff",
+        "blockMaxTf", "blockMinDl", "blockN")
+      def segRows(dir: String) = spark.read.parquet(s"$dir/segments")
+        .select(segCols.map(col): _*).as[SegmentRow]
+      // Buckets are docId-range ordinals and every rebased B docId is
+      // greater than every A docId, so B's buckets order after A's whole
+      // range: offset them past A's max (one column-pruned metadata scan).
+      val bucketOff = spark.read.parquet(s"$aDir/segments")
+        .agg(max("bucket")).collect()(0).getInt(0) + 1
+      val rebased = segRows(bDir).map { r =>
+        val (blob, shift) = Codec.rebaseBlob(r.blob, nA)
+        r.copy(bucket = r.bucket + bucketOff,
+          firstDocId = r.firstDocId + nA, lastDocId = r.lastDocId + nA,
+          blob = blob,
+          blockFirst = r.blockFirst.map(_ + nA),
+          // block 0 starts at byte 0 (the rewritten vlong); every later
+          // block starts past the old header and shifts with it
+          blockOff = r.blockOff.map(o => if (o == 0) 0 else o + shift))
+      }
+      val obs = org.apache.spark.sql.Observation("merge-segments")
+      segRows(aDir).union(rebased).toDF()
+        .withColumn("tb", pmod(xxhash64(col("term")), lit(conf.termBuckets)))
+        .observe(obs,
+          count(when(col("term") =!= "", 1)).cast("long").as("segments"),
+          sum(when(col("term") =!= "", length(col("blob"))).otherwise(0))
+            .cast("long").as("bytes"),
+          sum(when(col("term") =!= "", col("n")).otherwise(0))
+            .cast("long").as("postings"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("field", "tb")
+        .option("compression", "none")
+        .parquet(s"$out/segments")
+      val m = obs.get
+      commit(out, "segments", Map(
+        "segments" -> m("segments").asInstanceOf[Long],
+        "bytes" -> m("bytes").asInstanceOf[Long],
+        "postings" -> m("postings").asInstanceOf[Long]))
+    }
+
+    if (!isCommitted(out, "termstats")) {
+      val obs = org.apache.spark.sql.Observation("merge-termstats")
+      def ts(dir: String) = spark.read.parquet(s"$dir/termstats")
+        .select("term", "field", "df", "cf")
+      ts(aDir).unionByName(ts(bDir))
+        .groupBy("term", "field")
+        .agg(sum("df").cast("long").as("df"), sum("cf").cast("long").as("cf"))
+        .withColumn("tb", pmod(xxhash64(col("term")), lit(conf.termBuckets)))
+        .repartition(col("tb"))
+        .observe(obs, count(lit(1)).as("terms"))
+        .write.mode(SaveMode.Overwrite).partitionBy("tb")
+        .parquet(s"$out/termstats")
+      commit(out, "termstats",
+        Map("terms" -> obs.get("terms").asInstanceOf[Long]))
+    }
+
+    if (!isCommitted(out, "docstats")) {
+      val obs = org.apache.spark.sql.Observation("merge-docstats")
+      spark.read.parquet(s"$aDir/docstats")
+        .unionByName(spark.read.parquet(s"$bDir/docstats")
+          .withColumn("docId", col("docId") + nA))
+        .observe(obs, count(lit(1)).as("docs"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/docstats")
+      commit(out, "docstats", Map("docs" -> obs.get("docs").asInstanceOf[Long]))
+    }
+
+    writeCollstats(spark, out)
+  }
+
+  /** Physically delete documents from a sealed store into a new sealed
+    * store — the other index-maintenance half beside [[mergeStores]]
+    * (recrawl invalidation, takedowns, right-to-be-forgotten). docIds
+    * stay STABLE (no re-densification): readers never require dense ids,
+    * and stability means unaffected segment rows copy VERBATIM. The
+    * delete set is resolved through the docmap and broadcast as a sorted
+    * array (delete batches are small relative to the corpus; the same
+    * shape holds at larger scales with a bitmap/Bloom broadcast): each
+    * segment row first checks the set against its [firstDocId, lastDocId]
+    * range — no overlap, no decode — and only overlapping blobs are
+    * decoded, filtered, and re-encoded in place. No shuffle on the
+    * postings path (the write reuses the input (field, tb) clustering);
+    * docmap/docstats anti-join the url set, termstats recomputes from the
+    * new segments, collstats from the merged smalls. Manifest-committed
+    * per stage like the build: interrupted deletes resume, repeats no-op.
+    */
+  def deleteDocs(spark: SparkSession, dir: String, out: String,
+                 urls: DataFrame, conf: BuildConf = BuildConf()): Unit = {
+    import spark.implicits._
+    require(isCommitted(dir, "collstats"),
+      "deleteDocs needs a sealed store (collstats manifest missing)")
+    Files.createDirectories(Paths.get(out))
+    val delUrls = urls.select("url").distinct()
+
+    if (!isCommitted(out, "segments")) {
+      val delIds = spark.read.parquet(s"$dir/docmap")
+        .join(delUrls, "url").select("docId").as[Long].collect().sorted
+      val delB = spark.sparkContext.broadcast(delIds)
+      val segCols = Seq("term", "field", "bucket", "n", "firstDocId",
+        "lastDocId", "segCf", "blob", "blockFirst", "blockOff",
+        "blockMaxTf", "blockMinDl", "blockN")
+      val filtered = spark.read.parquet(s"$dir/segments")
+        .select(segCols.map(col): _*).as[SegmentRow]
+        .mapPartitions { it =>
+          val del = delB.value
+          def anyIn(first: Long, last: Long): Boolean = {
+            var i = java.util.Arrays.binarySearch(del, first)
+            if (i < 0) i = -i - 1
+            i < del.length && del(i) <= last
+          }
+          it.flatMap { r =>
+            if (!anyIn(r.firstDocId, r.lastDocId)) Iterator.single(r)
+            else {
+              // doclen sentinel rows (term = "", tf = 0, no positions)
+              // re-encode through the same path byte-compatibly
+              val enc = new Codec.SegmentEncoder
+              Codec.decode(r.blob, r.n).foreach { p =>
+                if (java.util.Arrays.binarySearch(del, p.docId) < 0)
+                  enc.addPositions(p.docId, p.dl, p.positions,
+                    p.positions.length)
+              }
+              val s = enc.finish()
+              if (s.n == 0) Iterator.empty
+              else Iterator.single(SegmentRow(r.term, r.field, r.bucket,
+                s.n, s.firstDocId, s.lastDocId, s.cf, s.blob, s.blockFirst,
+                s.blockOff, s.blockMaxTf, s.blockMinDl, s.blockN))
+            }
+          }
+        }
+      val obs = org.apache.spark.sql.Observation("delete-segments")
+      filtered.toDF()
+        .withColumn("tb", pmod(xxhash64(col("term")), lit(conf.termBuckets)))
+        .observe(obs,
+          count(when(col("term") =!= "", 1)).cast("long").as("segments"),
+          sum(when(col("term") =!= "", length(col("blob"))).otherwise(0))
+            .cast("long").as("bytes"),
+          sum(when(col("term") =!= "", col("n")).otherwise(0))
+            .cast("long").as("postings"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("field", "tb")
+        .option("compression", "none")
+        .parquet(s"$out/segments")
+      val m = obs.get
+      commit(out, "segments", Map(
+        "segments" -> m("segments").asInstanceOf[Long],
+        "bytes" -> m("bytes").asInstanceOf[Long],
+        "postings" -> m("postings").asInstanceOf[Long],
+        "deletedDocs" -> delIds.length.toLong))
+      delB.destroy()
+    }
+
+    if (!isCommitted(out, "docmap")) {
+      val obs = org.apache.spark.sql.Observation("delete-docmap")
+      spark.read.parquet(s"$dir/docmap")
+        .join(delUrls, Seq("url"), "left_anti")
+        .observe(obs, count(lit(1)).as("docs"))
+        .write.mode(SaveMode.Overwrite)
+        .option("parquet.block.size", (16L << 20).toString)
+        .parquet(s"$out/docmap")
+      commit(out, "docmap", Map("docs" -> obs.get("docs").asInstanceOf[Long]))
+    }
+
+    if (!isCommitted(out, "termstats")) {
+      val obs = org.apache.spark.sql.Observation("delete-termstats")
+      spark.read.parquet(s"$out/segments")
+        .filter(col("term") =!= "")
+        .groupBy("term", "field")
+        .agg(sum("n").cast("long").as("df"), sum("segCf").cast("long").as("cf"))
+        .withColumn("tb", pmod(xxhash64(col("term")), lit(conf.termBuckets)))
+        .repartition(col("tb"))
+        .observe(obs, count(lit(1)).as("terms"))
+        .write.mode(SaveMode.Overwrite).partitionBy("tb")
+        .parquet(s"$out/termstats")
+      commit(out, "termstats",
+        Map("terms" -> obs.get("terms").asInstanceOf[Long]))
+    }
+
+    if (!isCommitted(out, "docstats")) {
+      val obs = org.apache.spark.sql.Observation("delete-docstats")
+      spark.read.parquet(s"$dir/docstats")
+        .join(delUrls, Seq("url"), "left_anti")
+        .observe(obs, count(lit(1)).as("docs"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/docstats")
+      commit(out, "docstats", Map("docs" -> obs.get("docs").asInstanceOf[Long]))
+    }
+
+    writeCollstats(spark, out)
   }
 
   // ----------------------------------------------------------------- reader

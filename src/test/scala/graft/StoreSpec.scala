@@ -149,4 +149,120 @@ class StoreSpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq
     assert(qa == qb)
   }
+
+  test("mergeStores of two url-split half stores answers identically to the full build") {
+    outDir // force the full build (the comparison target)
+    val conf = BuildConf(numSlices = 2, numBuckets = 4,
+      termBuckets = 16, shufflePartitions = 8)
+    val base = Files.createTempDirectory("graft-merge").toString
+    val pages = SyntheticCorpus.pages(spark, NumDocs, 8).toDF()
+    // split by url order (all A urls < all B urls): the merged store's
+    // dense docId assignment then equals the full build's, so every table
+    // must agree with pIndex, not just query results
+    val urls = pages.select("url").orderBy("url").collect().map(_.getString(0))
+    val median = urls(urls.length / 2)
+    IndexStore.build(pages.filter(col("url") < median), s"$base/a", conf)
+    IndexStore.build(pages.filter(col("url") >= median), s"$base/b", conf)
+    IndexStore.mergeStores(spark, s"$base/a", s"$base/b", s"$base/ab", conf)
+    val merged = IndexStore.open(spark, s"$base/ab", 16)
+
+    assert(merged.collStats == pIndex.collStats)
+    Seq(("w0", "default"), ("obama", "default"), ("w123", "title"),
+      ("zzz", "default")).foreach { case (t, f) =>
+      assert(merged.termStat(t, f) == pIndex.termStat(t, f), s"($t,$f)")
+    }
+    // decoded postings bit-identical, including the rebased B half and
+    // position runs (rebaseBlob must not disturb anything but the header)
+    Seq("w0", "w1", "obama", "w777").foreach { t =>
+      val a = merged.postings(t, "default").orderBy("docId")
+        .collect().map(_.toString).toSeq
+      val b = pIndex.postings(t, "default").orderBy("docId")
+        .collect().map(_.toString).toSeq
+      assert(a == b, s"postings diverge for $t")
+    }
+    val parser = new QueryParser(defaultOp = QOp.SUM)
+    Seq("obama family tree", "#near/2(obama family)").foreach { q =>
+      val a = new Engine(merged, BM25()).search(q, 20, parser)
+        .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toList
+      val b = new Engine(pIndex, BM25()).search(q, 20, parser)
+        .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toList
+      assert(a == b, s"'$q'")
+    }
+    // WAND over the merged store: exercises the rebased block metadata
+    // (blockFirst/blockOff drive decodeBlock skips)
+    val wa = graft.query.Wand.bm25TopK(spark, merged,
+      Seq("obama", "family", "w3"), "default", 10)
+      .orderBy(col("score").desc, col("docId").desc)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toList
+    val wb = graft.query.Wand.bm25TopK(spark, pIndex,
+      Seq("obama", "family", "w3"), "default", 10)
+      .orderBy(col("score").desc, col("docId").desc)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toList
+    assert(wa == wb)
+    // merged doc count = sum of halves = full build's; re-merge is a no-op
+    assert(IndexStore.manifestCounter(s"$base/ab", "docmap", "docs") ==
+      IndexStore.manifestCounter(outDir, "docmap", "docs"))
+    val mtime = Files.getLastModifiedTime(
+      Paths.get(s"$base/ab/_manifests/segments.json"))
+    IndexStore.mergeStores(spark, s"$base/a", s"$base/b", s"$base/ab", conf)
+    assert(Files.getLastModifiedTime(
+      Paths.get(s"$base/ab/_manifests/segments.json")) == mtime)
+  }
+
+  test("deleteDocs keeps stable ids and matches a fresh build of the survivors") {
+    outDir // force the full build (the delete source)
+    val base = Files.createTempDirectory("graft-del").toString
+    val fullMap = spark.read.parquet(s"$outDir/docmap").select("url", "docId")
+    val delUrls = fullMap.filter(col("docId") % 5 === 2).select("url")
+    IndexStore.deleteDocs(spark, outDir, s"$base/del", delUrls,
+      BuildConf(termBuckets = 16))
+    val del = IndexStore.open(spark, s"$base/del", 16)
+
+    // survivor docIds are STABLE: the deleted store's docmap is exactly
+    // the full docmap minus the deleted urls, ids included
+    val a = spark.read.parquet(s"$base/del/docmap").select("url", "docId")
+      .orderBy("docId").collect().map(_.toString).toSeq
+    val b = fullMap.join(delUrls, Seq("url"), "left_anti")
+      .orderBy("docId").collect().map(_.toString).toSeq
+    assert(a == b)
+
+    // semantic target: a FRESH build over the survivor pages (dense
+    // re-assigned ids — compare through each store's own url mapping)
+    val pages = SyntheticCorpus.pages(spark, NumDocs, 8).toDF()
+    IndexStore.build(pages.join(delUrls, Seq("url"), "left_anti"),
+      s"$base/fresh", BuildConf(numSlices = 1, numBuckets = 4,
+        termBuckets = 16, shufflePartitions = 8))
+    val fresh = IndexStore.open(spark, s"$base/fresh", 16)
+    assert(del.collStats == fresh.collStats)
+    Seq(("w0", "default"), ("obama", "default"), ("w123", "title"),
+      ("zzz", "default")).foreach { case (t, f) =>
+      assert(del.termStat(t, f) == fresh.termStat(t, f), s"($t,$f)")
+    }
+    def byUrl(idx: ParquetIndex, storeDir: String, t: String) =
+      idx.postings(t, "default")
+        .join(spark.read.parquet(s"$storeDir/docmap").select("url", "docId"),
+          "docId")
+        .select("url", "tf", "dl", "positions").orderBy("url")
+        .collect().map(_.toString).toSeq
+    Seq("w0", "w1", "obama", "w777").foreach { t =>
+      assert(byUrl(del, s"$base/del", t) == byUrl(fresh, s"$base/fresh", t),
+        s"postings diverge for $t")
+    }
+    val parser = new QueryParser(defaultOp = QOp.SUM)
+    def topUrls(idx: ParquetIndex, storeDir: String) =
+      new Engine(idx, BM25()).search("obama family w3", 15, parser)
+        .join(spark.read.parquet(s"$storeDir/docmap").select("url", "docId"),
+          "docId")
+        .collect().map(r => (r.getAs[String]("url"),
+          math.round(r.getAs[Double]("score") * 1e9)))
+        .sortBy(_._1).toList
+    assert(topUrls(del, s"$base/del") == topUrls(fresh, s"$base/fresh"))
+    // repeat is a manifest no-op
+    val mtime = Files.getLastModifiedTime(
+      Paths.get(s"$base/del/_manifests/segments.json"))
+    IndexStore.deleteDocs(spark, outDir, s"$base/del", delUrls,
+      BuildConf(termBuckets = 16))
+    assert(Files.getLastModifiedTime(
+      Paths.get(s"$base/del/_manifests/segments.json")) == mtime)
+  }
 }
