@@ -76,6 +76,14 @@ object Probe {
             100, parser, "probe", parallelism = p)
           println(f"PROBE trec30 wall (par=$p) ${(System.nanoTime() - t0) / 1e9}%.3f s")
         }
+      case "gate" =>
+        // dump one gate's result for an ad-hoc oracle diff:
+        // PROBE_GATE=<name> PROBE_OUT=<dir>
+        val g = sys.env("PROBE_GATE")
+        val out = sys.env.getOrElse("PROBE_OUT", "/tmp/probe_gate")
+        graft.SparkEntry.queries(g)(spark, sfDir)
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/$g")
+        println(s"PROBE wrote $out/$g")
       case _ =>
         time("collocations-full") {
           graft.SparkEntry.queries("q_op_collocations")(spark, sfDir).count()

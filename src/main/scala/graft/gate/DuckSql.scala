@@ -211,15 +211,16 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 WHERE rank <= $k"""
   }
 
-  /** Oracle for Similarity.ivfTopK: the driver-side deterministic k-means
-    * (sample = vec_id < trainN, init = first nCentroids sample vectors by
-    * vec_id, Lloyd iterations with empty clusters keeping their centroid)
-    * unrolled as one CTE chain per iteration, then assignment + nProbe
-    * probing + exact-cosine ranking among same-cell candidates.
+  /** The unrolled deterministic-k-means WITH-body prefix shared by the
+    * IVF ANN and SemDeDup oracles: training sample (vec_id < trainN),
+    * init = first nCentroids sample vectors by vec_id, one CTE chain per
+    * Lloyd iteration (empty clusters keep their centroid), then `dall`
+    * (every vector's distance to every final centroid) and `assign`
+    * (argmin cell per vector, ties to the lowest cidx) — the exact SQL
+    * replay of Similarity.trainIvfCentroids + nearestCentroid.
     */
-  def annIvfOracle(queryIds: Seq[Long], k: Int, nCentroids: Int,
-                   nProbe: Int, iters: Int, trainN: Long): String = {
-    val qs = queryIds.mkString(", ")
+  private def kmeansAssignCtes(nCentroids: Int, iters: Int,
+                               trainN: Long): String = {
     def distCte(name: String, vecsCte: String, centsCte: String) =
       s"""$name AS (
   SELECT t.vec_id, c.cidx,
@@ -241,7 +242,7 @@ mc$n AS (SELECT cidx, list(mv ORDER BY i) AS c FROM ml$n GROUP BY 1),
 c$n AS (SELECT p.cidx AS cidx, coalesce(mc$n.c, p.c) AS c
         FROM $prev p LEFT JOIN mc$n USING (cidx))"""
     }.mkString(",\n")
-    s"""WITH tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $trainN),
+    s"""tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $trainN),
 c0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
@@ -251,7 +252,17 @@ $iterCtes,
 ${distCte("dall", "embeddings", s"c$iters")},
 assign AS (SELECT vec_id, cidx FROM (
   SELECT vec_id, cidx, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cidx ASC) AS rn
-  FROM dall) WHERE rn = 1),
+  FROM dall) WHERE rn = 1)"""
+  }
+
+  /** Oracle for Similarity.ivfTopK: the deterministic k-means replay
+    * ([[kmeansAssignCtes]]), then nProbe probing + exact-cosine ranking
+    * among same-cell candidates.
+    */
+  def annIvfOracle(queryIds: Seq[Long], k: Int, nCentroids: Int,
+                   nProbe: Int, iters: Int, trainN: Long): String = {
+    val qs = queryIds.mkString(", ")
+    s"""WITH ${kmeansAssignCtes(nCentroids, iters, trainN)},
 qprobe AS (SELECT vec_id AS query_id, cidx FROM (
   SELECT vec_id, cidx, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cidx ASC) AS rn
   FROM dall WHERE vec_id IN ($qs)) WHERE rn <= $nProbe),
@@ -273,6 +284,29 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
   FROM cs)
 WHERE rank <= $k"""
   }
+
+  /** Oracle for Similarity.semDedup: the same deterministic k-means
+    * replay ([[kmeansAssignCtes]]), then every same-cell pair's exact
+    * cosine; a vector is dropped iff SOME lower-id vector in its cell is
+    * ≥ threshold similar (raw compare, like the engine). keep = NOT
+    * dropped.
+    */
+  def semDedupOracle(threshold: Double, nCentroids: Int, iters: Int,
+                     trainN: Long): String =
+    s"""WITH ${kmeansAssignCtes(nCentroids, iters, trainN)},
+pe AS (SELECT a.cidx, a.vec_id, e.embedding
+       FROM assign a JOIN embeddings e USING (vec_id)),
+pr AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         unnest(x.embedding)::DOUBLE AS xa, unnest(y.embedding)::DOUBLE AS yb
+  FROM pe x JOIN pe y ON x.cidx = y.cidx AND x.vec_id < y.vec_id),
+cs AS (
+  SELECT id_a, id_b,
+         sum(xa * yb) / (sqrt(sum(xa * xa)) * sqrt(sum(yb * yb))) AS c
+  FROM pr GROUP BY 1, 2),
+drops AS (SELECT DISTINCT id_b FROM cs WHERE c >= $threshold)
+SELECT a.vec_id, a.cidx, (d.id_b IS NULL) AS keep
+FROM assign a LEFT JOIN drops d ON a.vec_id = d.id_b"""
 
   /** Oracle for Similarity.embeddingDups(useLsh = true). */
   def embedDupsLshOracle(threshold: Double, nBits: Int,

@@ -595,6 +595,16 @@ FROM spans GROUP BY 1, 2""")),
         useLsh = true, nBits = 8),
       Some(DuckSql.embedDupsLshOracle(threshold = 0.35, nBits = 8))),
 
+    // SemDeDup: k-means cells (the IVF coarse quantizer) + intra-cell
+    // cosine keep-lowest-id — semantic dedup without global all-pairs.
+    // Oracle replays the same deterministic Lloyd iterations unrolled in
+    // SQL, then the same raw-threshold pair test within cells.
+    GateQuery("q_op_semdedup",
+      (s, d) => Similarity.semDedup(emb(s, d), threshold = 0.35,
+        nCentroids = 8, iters = 2, trainN = 256L),
+      Some(DuckSql.semDedupOracle(threshold = 0.35, nCentroids = 8,
+        iters = 2, trainN = 256L))),
+
     // Int8 embedding quantization: the gate projects per-vector scalar
     // checksums instead of the raw int8 array (the driver's
     // column-sorted value hash is defined over scalars): min/max pin the

@@ -462,6 +462,55 @@ object Similarity {
     topKPerQuery(reranked, k)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering the embedding space with k-means and
+    * comparing cosines only WITHIN each cluster — the published recipe
+    * for pruning web-scale corpora where global all-pairs is impossible
+    * but semantic (non-verbatim) duplicates concentrate inside k-means
+    * cells. Reuses the engine's deterministic coarse quantizer
+    * ([[trainIvfCentroids]]: driver-trained on a bounded sample,
+    * broadcast assignment pass) so clustering is one scan regardless of
+    * corpus size.
+    *
+    * Keep policy: within a cluster, a vector is DROPPED iff some
+    * lower-id vector in the same cluster is ≥ `threshold` cosine-similar
+    * (keep-lowest-id). The paper keeps the point with lowest similarity
+    * to the centroid; min-id is the deterministic variant an oracle can
+    * replay exactly, and like the paper's rule it is non-recursive — the
+    * witness u need not itself survive (documented deviation, same
+    * pruned set size).
+    *
+    * Plan shape at 100 TB: assignment is a scan-stage projection over a
+    * broadcast centroid matrix; the pair scan shuffles once by cidx and
+    * compares O(Σ|cell|²) pairs — nCentroids is the knob that bounds
+    * cell size (the paper uses ~100k clusters for billions of points;
+    * cost falls quadratically as it grows). No global all-pairs ever.
+    *
+    * @return (vec_id, cidx, keep) for every input vector.
+    */
+  def semDedup(emb: DataFrame, threshold: Double, nCentroids: Int = 8,
+               iters: Int = 2, trainN: Long = 256L): DataFrame = {
+    val cents = trainIvfCentroids(emb, nCentroids, trainN, iters)
+    val assignUdf = udf { (v: Seq[Float]) =>
+      nearestCentroid(v.toArray.map(_.toDouble), cents)
+    }
+    val assigned = OpScratch.track(
+      emb.select(col("vec_id"), col("embedding"),
+          assignUdf(col("embedding")).as("cidx"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val drops = assigned
+      .select(col("cidx"), col("vec_id").as("id_a"),
+        col("embedding").as("emb_a"))
+      .join(assigned.select(col("cidx"), col("vec_id").as("id_b"),
+        col("embedding").as("emb_b")), Seq("cidx"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosineCol(col("emb_a"), col("emb_b")) >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.join(drops.withColumn("dropped", lit(true)),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cidx"), col("dropped").isNull.as("keep"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
     * Exact variant pairs everything (small inputs / verification); the
     * scalable variant restricts to LSH-bucket collisions first.

@@ -146,6 +146,45 @@ class OpsSpec extends AnyFunSuite {
     assert(recall(2) <= r8)
   }
 
+  test("semDedup drops planted near-duplicates, keeps lowest id, never crosses cells") {
+    val perturbed = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 9000).as("vec_id"),
+        expr("transform(embedding, x -> float(x * 1.0001 + 0.0001))")
+          .as("embedding"))
+    val withDups = emb.select("vec_id", "embedding").union(perturbed)
+    val out = Similarity.semDedup(withDups, threshold = 0.95,
+      nCentroids = 8, iters = 2, trainN = 256L).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("cidx"), r.getAs[Boolean]("keep"))).toMap
+    assert(out.size == 505, "one row per input vector")
+    // each planted copy is ~identical to its source → same cell, dropped;
+    // the source (lower id) survives
+    (0L until 5L).foreach { v =>
+      assert(out(v)._2, s"original $v must keep")
+      assert(!out(v + 9000)._2, s"planted dup of $v must drop")
+      assert(out(v)._1 == out(v + 9000)._1, "dup pair shares a cell")
+    }
+    // exact replay of the keep rule on the driver: dropped iff some
+    // lower-id same-cell vector is >= threshold cosine-similar
+    val vecs = withDups.orderBy("vec_id").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (xy, xx, yy) = (0.0, 0.0, 0.0)
+      var i = 0
+      while (i < a.length) { xy += a(i)*b(i); xx += a(i)*a(i); yy += b(i)*b(i); i += 1 }
+      xy / (math.sqrt(xx) * math.sqrt(yy))
+    }
+    val byCell = out.toSeq.groupBy(_._2._1)
+    byCell.foreach { case (_, members) =>
+      val ids = members.map(_._1).sorted
+      ids.foreach { v =>
+        val expected = !ids.exists(u => u < v && cos(vecs(u), vecs(v)) >= 0.95)
+        assert(out(v)._2 == expected, s"keep($v) mismatch vs exact replay")
+      }
+    }
+  }
+
   test("int8 IVF candidate scan: result identical to float IVF, fewer bytes scanned") {
     val qids = Seq(0L, 1L, 2L, 3L, 4L)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
