@@ -83,6 +83,10 @@ object Probe {
         val out = sys.env.getOrElse("PROBE_OUT", "/tmp/probe_gate")
         graft.SparkEntry.queries(g)(spark, sfDir)
           .coalesce(1).write.mode("overwrite").parquet(s"$out/$g")
+        graft.SparkEntry.oracleSql.get(g).foreach { sql =>
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$out/$g.oracle.sql"), sql)
+        }
         println(s"PROBE wrote $out/$g")
       case _ =>
         time("collocations-full") {

@@ -373,6 +373,68 @@ LEFT JOIN post p ON p.doc_id = c.doc_id AND p.term = q.term
 JOIN dlen d ON d.doc_id = c.doc_id
 GROUP BY 1""")),
 
+    // RM3 pseudo-relevance feedback (graft.query.Feedback), end-to-end:
+    // pass 1 Indri #AND top-5 feedback docs → expansion = 5 most frequent
+    // non-stop non-query terms of those docs (integer counts, term-asc
+    // ties) → expanded #WEIGHT(0.6/3 per original, 0.4/5 per expansion)
+    // → Indri top-20. The oracle replays every stage relationally; the
+    // interpolation weights are written as the SAME two IEEE ops the
+    // Scala side computes ((0.6/3), ((1.0-0.6)/5)).
+    GateQuery("q_ir_rm3", {
+      (s, d) =>
+        val e = engine(s, d, Indri())
+        val docsDf = s.read.parquet(s"$d/documents.parquet")
+        Feedback.rm3Search(e, indriParser, docsDf, "spark join table", 20,
+          fbDocs = 5, fbTerms = 5, alpha = 0.6)
+          .select(col("docId").as("doc_id"), col("rank"),
+            round(col("score"), 6).as("score"))
+    }, {
+      // SQL-escape: the reference stoplist contains "doesn't" (which no
+      // [a-z0-9]+ token can ever equal, but the two engines' exclusion
+      // lists must stay literally identical)
+      val stopIn = graft.analysis.Tokenizer.stopwords.toSeq.sorted
+        .map(w => s"'${w.replace("'", "''")}'").mkString(", ")
+      Some(s"""${prelude()}$wstats,
+oqs AS (SELECT term, cf FROM tstat WHERE term IN ('spark', 'join', 'table')),
+cand1 AS (SELECT DISTINCT doc_id FROM post
+          WHERE term IN ('spark', 'join', 'table')),
+s1 AS (
+  SELECT c.doc_id, sum(CASE WHEN p.tf IS NULL
+           THEN ${indri("0.0", "s.avgdl", "q.cf")}
+           ELSE ${indri("p.tf", "d.dl", "q.cf")} END) AS sc
+  FROM cand1 c CROSS JOIN oqs q CROSS JOIN stats s CROSS JOIN wstats w
+  LEFT JOIN post p ON p.doc_id = c.doc_id AND p.term = q.term
+  JOIN dlen d ON d.doc_id = c.doc_id
+  GROUP BY 1),
+fb AS (SELECT doc_id FROM s1 ORDER BY sc DESC, doc_id DESC LIMIT 5),
+expt AS (
+  SELECT p.term FROM post p JOIN fb USING (doc_id)
+  WHERE p.term NOT IN ('spark', 'join', 'table')
+    AND p.term NOT IN ($stopIn)
+  GROUP BY p.term ORDER BY sum(p.tf) DESC, p.term ASC LIMIT 5),
+qt AS (
+  SELECT term, cf, (0.6::DOUBLE / 3) AS w FROM tstat
+  WHERE term IN ('spark', 'join', 'table')
+  UNION ALL
+  SELECT t.term, t.cf, ((1.0::DOUBLE - 0.6::DOUBLE) / 5) AS w
+  FROM expt e JOIN tstat t ON t.term = e.term),
+cand AS (SELECT DISTINCT p.doc_id FROM post p JOIN qt q ON p.term = q.term),
+sc AS (
+  SELECT c.doc_id, sum(q.w * CASE WHEN p.tf IS NULL
+           THEN ${indri("0.0", "s.avgdl", "q.cf")}
+           ELSE ${indri("p.tf", "d.dl", "q.cf")} END) AS scoreraw
+  FROM cand c CROSS JOIN qt q CROSS JOIN stats s CROSS JOIN wstats w
+  LEFT JOIN post p ON p.doc_id = c.doc_id AND p.term = q.term
+  JOIN dlen d ON d.doc_id = c.doc_id
+  GROUP BY 1)
+SELECT doc_id, rank, score FROM (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY scoreraw DESC, doc_id DESC) AS rank,
+         round(scoreraw, 6) AS score
+  FROM sc)
+WHERE rank <= 20""")
+    }),
+
     // F2: field restriction — BM25 over the title field (df/cf from the
     // title index; N/avgdl stay the default-field collection stats, as in
     // the reference's config-injected scorer constants).

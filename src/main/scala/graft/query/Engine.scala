@@ -344,9 +344,16 @@ class Engine(val index: SearchIndex, val model: Model,
     * sort by -docId). numResults < 0 means all (RetrieverRunner.scala:71).
     */
   def search(queryStr: String, numResults: Int,
-             parser: QueryParser): DataFrame = {
+             parser: QueryParser): DataFrame =
+    searchNode(parser.parse(queryStr), numResults)
+
+  /** [[search]] over an already-built AST — the entry point for callers
+    * that construct query trees programmatically (e.g. [[Feedback]]'s
+    * expanded #WEIGHT node, whose weights must not round-trip through a
+    * query string).
+    */
+  def searchNode(root: QNode, numResults: Int): DataFrame = {
     val ranked = model match { case Bool(r) => r; case _ => true }
-    val root = parser.parse(queryStr)
     index.prefetchStats(collectLeaves(root))
     val lowered = lower(root)
     val base = lowered.df.select(col("docId"),
