@@ -30,15 +30,30 @@ object IndexCache {
       import spark.implicits._
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id").cast("long").as("docId"), col("text"))
-      val fieldDocs = docs.as[(Long, String)].flatMap { case (id, text) =>
-        val toks = graft.analysis.Tokenizer.tokenize(text)
-        val (titleToks, bodyToks) = toks.splitAt(TitleTokens)
-        Seq(
-          FieldDoc(id, "default", text),
-          FieldDoc(id, "title", titleToks.mkString(" ")),
-          FieldDoc(id, "body", bodyToks.mkString(" ")))
-      }
-      IndexBuilder.inMemory(IndexBuilder.buildPostings(fieldDocs))
+      // Postings built in ONE tokenize pass per doc: the three field token
+      // streams are slices of the same tokenize(text) (every token is
+      // [a-z0-9]+, so the old mkString(" ")→re-tokenize round trip of the
+      // title/body FieldDocs reproduced exactly these slices — rows are
+      // identical, the doc is just not tokenized three times). fanOut is
+      // CAPPED at 8: the cached postings frame is read by every
+      // subsequent IR gate's point lookups, and a full-width 32-partition
+      // cache taxed each of those tiny jobs with 32 scheduled tasks per
+      // union leg (measured: sdm at 419 tasks, every boolean gate
+      // +0.1–0.2 s) — 8 parallelizes the one-time tokenize pass without
+      // that per-query tax.
+      val postings = graft.ops.TextAnalysis.fanOut(docs, "docId", cap = 8)
+        .as[(Long, String)].flatMap { case (id, text) =>
+          val toks = graft.analysis.Tokenizer.tokenize(text)
+          val (titleToks, bodyToks) = toks.splitAt(TitleTokens)
+          Seq(("default", toks), ("title", titleToks), ("body", bodyToks))
+            .iterator.flatMap { case (f, tk) =>
+              graft.analysis.Tokenizer.termVector(tk).iterator.map {
+                case (t, (tf, pos)) =>
+                  graft.model.PostingRow(t, f, id, tf, tk.length, pos)
+              }
+            }
+        }.toDF()
+      IndexBuilder.inMemory(postings)
     })
 }
 
@@ -186,10 +201,21 @@ object MergedStoreCache {
           lit(null).cast("binary").as("html"),
           col("text"), lit("en").as("lang"))
       val half = pages.agg(max("doc_id")).collect()(0).getLong(0) / 2 + 1
-      graft.index.IndexStore.build(
-        pages.filter(col("doc_id") < half).drop("doc_id"), s"$base/a", conf)
-      graft.index.IndexStore.build(
-        pages.filter(col("doc_id") >= half).drop("doc_id"), s"$base/b", conf)
+      // The two half-store builds are independent (disjoint inputs,
+      // separate output dirs) — exactly the crawl-increment shape, where
+      // each increment builds concurrently. Overlapping them hides each
+      // build's driver/scheduling latency behind the other's (guide
+      // §2.6); manifest resume semantics are per-store and unchanged.
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fa = Future(graft.index.IndexStore.build(
+          pages.filter(col("doc_id") < half).drop("doc_id"), s"$base/a", conf))
+        val fb = Future(graft.index.IndexStore.build(
+          pages.filter(col("doc_id") >= half).drop("doc_id"), s"$base/b", conf))
+        Await.result(fa, Duration.Inf); Await.result(fb, Duration.Inf)
+      }
       graft.index.IndexStore.mergeStores(spark, s"$base/a", s"$base/b",
         s"$base/ab", conf)
     }

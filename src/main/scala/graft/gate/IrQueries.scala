@@ -470,7 +470,10 @@ GROUP BY 1""")),
         val e = engine(s, d, BM25())
         val queries = Seq("1" -> "spark join", "2" -> "key value",
           "3" -> "the about all") // q3 is all-stopwords → zero rows
-        val rows = e.searchAll(queries, 10, bm25Parser, "gate")
+        // parallelism overlaps the three queries' scheduling latencies
+        // (searchAll keeps result order; rows are per-query deterministic)
+        val rows = e.searchAll(queries, 10, bm25Parser, "gate",
+          parallelism = queries.length)
         import s.implicits._
         // round through the same `round(col, 6)` every other gate uses
         // (half-up like DuckDB — math.rint would be half-even)

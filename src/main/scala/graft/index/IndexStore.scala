@@ -113,12 +113,14 @@ object IndexStore {
     * shuffle so the output partitions are docId-contiguous AND hold the
     * tokenizer input — no later join against the corpus.
     *
-    * Returns (df, release): call release() after the result is consumed to
-    * drop the two internal caches (range sampling + the counted sort would
-    * otherwise each rescan the input).
+    * Returns (df, totalDocs, release): totalDocs is known driver-side
+    * already (the per-partition counts are summed for the offsets), so
+    * callers need no extra count job; call release() after the result is
+    * consumed to drop the internal cache (the counted sort would
+    * otherwise rescan the input per consumer).
     */
   def assignDocIds(pages: DataFrame, partitions: Int,
-                   offset: Long = 0L): (DataFrame, () => Unit) = {
+                   offset: Long = 0L): (DataFrame, Long, () => Unit) = {
     val spark = pages.sparkSession
     import spark.implicits._
     val slim = pages.select("url", "text", "lang")
@@ -143,7 +145,7 @@ object IndexStore {
         val r = (url, i, text, lang); i += 1; r
       }
     }.toDF("url", "docId", "text", "lang")
-    (withIds, () => { sorted.unpersist(); () })
+    (withIds, acc - offset, () => { sorted.unpersist(); () })
   }
 
   /** Pages (+docId) → per-field FieldDocs (the row-level path used by the
@@ -194,9 +196,54 @@ object IndexStore {
     val filtered = conf.langFilter
       .map(l => pages.filter(col("lang") === l)).getOrElse(pages)
 
+    // stage 0+1 DEEP-FUSED fast path: with a single slice and derived
+    // split sizing (splitBytes == 0), the mini-segment stage's input can
+    // be the in-memory docId assignment itself — its partitions are
+    // docId-contiguous by construction, exactly what the docmap FILE
+    // provided — so the docmap write (pure I/O) runs as a CONCURRENT job
+    // (guide §2.6) instead of a write→re-read barrier on the critical
+    // path. The scaling bench pins splitBytes > 0 precisely so task
+    // boundaries come from file splits (same work at every parallelism
+    // level); that path below is byte-for-byte unchanged.
+    if (conf.numSlices == 1 && conf.splitBytes == 0L &&
+        !isCommitted(out, "docmap") && !isCommitted(out, "minisegs-slice-0") &&
+        !isCommitted(out, "segments")) {
+      val (ids, totalDocs0, release) =
+        assignDocIds(filtered, conf.shufflePartitions)
+      val rangeSize0 =
+        math.max(1L, (totalDocs0 + conf.numBuckets - 1) / conf.numBuckets)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fDocmap = Future {
+        val obs = org.apache.spark.sql.Observation("docmap")
+        ids.observe(obs, count(lit(1)).as("docs"))
+          .write.mode(SaveMode.Overwrite)
+          .option("parquet.block.size", (16L << 20).toString)
+          .parquet(s"$out/docmap")
+        commit(out, "docmap",
+          Map("docs" -> obs.get("docs").asInstanceOf[Long]))
+      }
+      val fSegs = Future {
+        val minis = IndexBuilder.miniSegments(ids, rangeSize0).toDF()
+        val (obs, aggs) = miniObs("minisegs-0")
+        writeSegments(spark,
+          minis.observe(obs, aggs.head, aggs.tail: _*), out, conf,
+          keepSentinels = true)
+        commit(out, "minisegs-slice-0", miniCounters(obs.get) +
+          ("rangeSize" -> rangeSize0, "fused" -> 1L))
+      }
+      Await.result(fDocmap, Duration.Inf)
+      Await.result(fSegs, Duration.Inf)
+      release()
+      mark("docmap ∥ minisegs+segments (deep-fused)")
+      derivedStages(spark, out, conf, mark)
+      return
+    }
+
     // stage 0: docmap (url-sorted pages with dense docIds) -----------------
     if (!isCommitted(out, "docmap")) {
-      val (ids, release) = assignDocIds(filtered, conf.shufflePartitions)
+      val (ids, _, release) = assignDocIds(filtered, conf.shufflePartitions)
       val obs = org.apache.spark.sql.Observation("docmap")
       // bounded row groups: the mini-segment scan parallelizes by byte
       // range, but a range only reads row groups whose MIDPOINT it covers —
@@ -446,19 +493,28 @@ object IndexStore {
     */
   private def writeCollstats(spark: SparkSession, out: String): Unit = {
     if (!isCommitted(out, "collstats")) {
-      val ds = spark.read.parquet(s"$out/docstats")
-      val dcRow = ds.agg(
-        sum(when(col("len_default") > 0, 1L).otherwise(0L)),
-        sum(when(col("len_title") > 0, 1L).otherwise(0L)),
-        sum(when(col("len_body") > 0, 1L).otherwise(0L)),
-        sum(when(col("len_url") > 0, 1L).otherwise(0L))).collect()(0)
+      // the two source aggregations read different tables — run them as
+      // concurrent jobs (guide §2.6)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fDc = Future {
+        spark.read.parquet(s"$out/docstats").agg(
+          sum(when(col("len_default") > 0, 1L).otherwise(0L)),
+          sum(when(col("len_title") > 0, 1L).otherwise(0L)),
+          sum(when(col("len_body") > 0, 1L).otherwise(0L)),
+          sum(when(col("len_url") > 0, 1L).otherwise(0L))).collect()(0)
+      }
+      val fPf = Future {
+        spark.read.parquet(s"$out/termstats")
+          .groupBy("field").agg(
+            count(lit(1)).as("vocabSize"),
+            sum("cf").cast("long").as("wordCount")).collect()
+      }
+      val dcRow = Await.result(fDc, Duration.Inf)
       val docCounts = Seq("default", "title", "body", "url").zipWithIndex
         .map { case (f, i) => f -> dcRow.getLong(i) }.toMap
-      val perField = spark.read.parquet(s"$out/termstats")
-        .groupBy("field").agg(
-          count(lit(1)).as("vocabSize"),
-          sum("cf").cast("long").as("wordCount"))
-      val rows = perField.collect().map { r =>
+      val rows = Await.result(fPf, Duration.Inf).map { r =>
         val field = r.getString(0)
         val dc = docCounts(field)
         val vocab = r.getLong(1)
@@ -503,7 +559,17 @@ object IndexStore {
     val nA = manifestCounter(aDir, "docmap", "docs")
     val nB = manifestCounter(bDir, "docmap", "docs")
 
-    if (!isCommitted(out, "docmap")) {
+    // The four table merges are pairwise independent (docmap, segments,
+    // termstats, docstats read only the two INPUT stores); each is a
+    // small job whose wall is dominated by driver/scheduling latency, so
+    // they run as concurrent jobs (guide §2.6) and only collstats — which
+    // reads the merged smalls — waits for them. Resume safety is
+    // unchanged: every stage still commits its own manifest.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+
+    val fDocmap = Future { if (!isCommitted(out, "docmap")) {
       spark.read.parquet(s"$aDir/docmap")
         .unionByName(spark.read.parquet(s"$bDir/docmap")
           .withColumn("docId", col("docId") + nA))
@@ -511,9 +577,9 @@ object IndexStore {
         .option("parquet.block.size", (16L << 20).toString)
         .parquet(s"$out/docmap")
       commit(out, "docmap", Map("docs" -> (nA + nB)))
-    }
+    } }
 
-    if (!isCommitted(out, "segments")) {
+    val fSegments = Future { if (!isCommitted(out, "segments")) {
       val segCols = Seq("term", "field", "bucket", "n", "firstDocId",
         "lastDocId", "segCf", "blob", "blockFirst", "blockOff",
         "blockMaxTf", "blockMinDl", "blockN")
@@ -552,9 +618,9 @@ object IndexStore {
         "segments" -> m("segments").asInstanceOf[Long],
         "bytes" -> m("bytes").asInstanceOf[Long],
         "postings" -> m("postings").asInstanceOf[Long]))
-    }
+    } }
 
-    if (!isCommitted(out, "termstats")) {
+    val fTermstats = Future { if (!isCommitted(out, "termstats")) {
       val obs = org.apache.spark.sql.Observation("merge-termstats")
       def ts(dir: String) = spark.read.parquet(s"$dir/termstats")
         .select("term", "field", "df", "cf")
@@ -568,9 +634,9 @@ object IndexStore {
         .parquet(s"$out/termstats")
       commit(out, "termstats",
         Map("terms" -> obs.get("terms").asInstanceOf[Long]))
-    }
+    } }
 
-    if (!isCommitted(out, "docstats")) {
+    val fDocstats = Future { if (!isCommitted(out, "docstats")) {
       val obs = org.apache.spark.sql.Observation("merge-docstats")
       spark.read.parquet(s"$aDir/docstats")
         .unionByName(spark.read.parquet(s"$bDir/docstats")
@@ -578,8 +644,10 @@ object IndexStore {
         .observe(obs, count(lit(1)).as("docs"))
         .write.mode(SaveMode.Overwrite).parquet(s"$out/docstats")
       commit(out, "docstats", Map("docs" -> obs.get("docs").asInstanceOf[Long]))
-    }
+    } }
 
+    Seq(fDocmap, fSegments, fTermstats, fDocstats)
+      .foreach(Await.result(_, Duration.Inf))
     writeCollstats(spark, out)
   }
 
@@ -607,6 +675,16 @@ object IndexStore {
     Files.createDirectories(Paths.get(out))
     val delUrls = urls.select("url").distinct()
 
+    // Stage dependencies: termstats reads the REWRITTEN segments, but
+    // docmap and docstats only read the input store — so the
+    // segments→termstats chain and the two url anti-joins run as
+    // concurrent jobs (guide §2.6), with collstats last. Manifest
+    // commit/skip per stage is unchanged.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+
+    val fSegTerm = Future {
     if (!isCommitted(out, "segments")) {
       val delIds = spark.read.parquet(s"$dir/docmap")
         .join(delUrls, "url").select("docId").as[Long].collect().sorted
@@ -663,18 +741,6 @@ object IndexStore {
         "deletedDocs" -> delIds.length.toLong))
       delB.destroy()
     }
-
-    if (!isCommitted(out, "docmap")) {
-      val obs = org.apache.spark.sql.Observation("delete-docmap")
-      spark.read.parquet(s"$dir/docmap")
-        .join(delUrls, Seq("url"), "left_anti")
-        .observe(obs, count(lit(1)).as("docs"))
-        .write.mode(SaveMode.Overwrite)
-        .option("parquet.block.size", (16L << 20).toString)
-        .parquet(s"$out/docmap")
-      commit(out, "docmap", Map("docs" -> obs.get("docs").asInstanceOf[Long]))
-    }
-
     if (!isCommitted(out, "termstats")) {
       val obs = org.apache.spark.sql.Observation("delete-termstats")
       spark.read.parquet(s"$out/segments")
@@ -689,16 +755,29 @@ object IndexStore {
       commit(out, "termstats",
         Map("terms" -> obs.get("terms").asInstanceOf[Long]))
     }
+    }
 
-    if (!isCommitted(out, "docstats")) {
+    val fDocmap = Future { if (!isCommitted(out, "docmap")) {
+      val obs = org.apache.spark.sql.Observation("delete-docmap")
+      spark.read.parquet(s"$dir/docmap")
+        .join(delUrls, Seq("url"), "left_anti")
+        .observe(obs, count(lit(1)).as("docs"))
+        .write.mode(SaveMode.Overwrite)
+        .option("parquet.block.size", (16L << 20).toString)
+        .parquet(s"$out/docmap")
+      commit(out, "docmap", Map("docs" -> obs.get("docs").asInstanceOf[Long]))
+    } }
+
+    val fDocstats = Future { if (!isCommitted(out, "docstats")) {
       val obs = org.apache.spark.sql.Observation("delete-docstats")
       spark.read.parquet(s"$dir/docstats")
         .join(delUrls, Seq("url"), "left_anti")
         .observe(obs, count(lit(1)).as("docs"))
         .write.mode(SaveMode.Overwrite).parquet(s"$out/docstats")
       commit(out, "docstats", Map("docs" -> obs.get("docs").asInstanceOf[Long]))
-    }
+    } }
 
+    Seq(fSegTerm, fDocmap, fDocstats).foreach(Await.result(_, Duration.Inf))
     writeCollstats(spark, out)
   }
 

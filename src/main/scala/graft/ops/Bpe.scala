@@ -76,7 +76,7 @@ object Bpe {
     * distinct-pretoken partials.
     */
   def pretokenCounts(docs: DataFrame): DataFrame =
-    TextAnalysis.explodeNN(docs, Seq.empty,
+    TextAnalysis.explodeNN(TextAnalysis.fanOut(docs), Seq.empty,
         regexp_extract_all(lower(col("text")), lit(TextAnalysis.BpePattern),
           lit(0)), "pt")
       .groupBy("pt").agg(count(lit(1)).as("freq"))
@@ -151,7 +151,7 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
     val ms = merges.toVector
-    docs.select(col("doc_id").cast("long"),
+    TextAnalysis.fanOut(docs).select(col("doc_id").cast("long"),
         regexp_extract_all(lower(col("text")), lit(TextAnalysis.BpePattern),
           lit(0)).as("pts"))
       .as[(Long, Seq[String])]

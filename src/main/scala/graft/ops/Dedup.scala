@@ -22,6 +22,7 @@ object Dedup {
 
   private def toksCol: Column = TextAnalysis.tokensCol(col("text"))
 
+
   /** Exact duplicate groups by md5(text): one row per duplicated content
     * hash with the kept (minimum) doc_id and group size.
     */
@@ -34,7 +35,7 @@ object Dedup {
     * pairing joins explode it.
     */
   def shingleArrays(docs: DataFrame, w: Int): DataFrame =
-    docs.select(col("doc_id"), toksCol.as("toks"))
+    TextAnalysis.fanOut(docs).select(col("doc_id"), toksCol.as("toks"))
       .select(col("doc_id"),
         when(size(col("toks")) < w,
           array(concat_ws(" ", col("toks"))))
@@ -54,6 +55,15 @@ object Dedup {
     val spark = docs.sparkSession
     val arrs = OpScratch.track(shingleArrays(docs, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // materialize the cache ONCE before the multi-leg consumers below —
+    // otherwise the pairing join's legs race the first computation and
+    // each recomputes the full tokenize+shingle lineage concurrently —
+    // and learn the corpus size for free: a shingle's doc frequency is
+    // bounded by the doc count, so when nDocs ≤ maxShingleDf the frequent
+    // set is PROVABLY empty and the whole df-cap aggregation pass is
+    // skipped (at web scale nDocs ≫ maxShingleDf and the pass runs as
+    // before).
+    val nDocs = arrs.count()
     // Frequent (boilerplate) shingles are the Zipf head: FEW distinct
     // shingles, each in many docs — bounded by (total shingle occurrences
     // / maxShingleDf), the same smallness a broadcast join needs. Collect
@@ -69,7 +79,9 @@ object Dedup {
     // collect is bounded — over the bound, fall back to a fully
     // distributed anti-join + window recount (one extra shuffle, no
     // driver state)
-    val freqRows = freqDf.limit(maxBroadcastShingles + 1).collect()
+    val freqRows =
+      if (nDocs <= maxShingleDf) Array.empty[org.apache.spark.sql.Row]
+      else freqDf.limit(maxBroadcastShingles + 1).collect()
     val tooMany = freqRows.length > maxBroadcastShingles
     // jaccard is over the CAPPED (informative) shingle sets on both sides
     // of the ratio — dropping boilerplate from the intersection but not
@@ -134,10 +146,47 @@ object Dedup {
     * pair: (doc_id, keep_id), keep_id = the component's minimum id — keep
     * that doc, drop the rest of its cluster.
     */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 25,
+                        maxLocalEdges: Int = 1 << 21): DataFrame = {
     val spark = pairs.sparkSession
-    val e0 = pairs.select(col("id_a").cast("long").as("src"),
-      col("id_b").cast("long").as("dst"))
+    import spark.implicits._
+    // The directed pair list is persisted BEFORE the bidirectional union:
+    // both union legs reference it, and unpersisted they each recompute
+    // the full upstream pair-generation lineage (for jaccard input that
+    // is the whole shingle join) — measured as two concurrent ~2 s jobs
+    // racing the same cache at sf0.1.
+    val e0 = OpScratch.track(
+      pairs.select(col("id_a").cast("long").as("src"),
+        col("id_b").cast("long").as("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // Bounded-collect fast path (the same driver-guard pattern as the
+    // jaccard df-cap set): near-dup EDGES are tiny relative to the corpus
+    // (a pair generator that emits ≥2²¹ pairs is flagging whole shards as
+    // duplicates — the pipeline is misconfigured before this operator is
+    // slow), so when the whole edge list fits a bounded driver buffer,
+    // union-find locally — exact same component minima, zero shuffle
+    // rounds. Anything larger falls back to the distributed loop below;
+    // the collect is capped at maxLocalEdges+1 rows either way.
+    val head = e0.limit(maxLocalEdges + 1).collect()
+    if (head.length <= maxLocalEdges) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      head.foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val keep = parent.keys.toArray.sorted.map(id => (id, find(id)))
+      _lastClusterRounds.set(Nil) // no distributed rounds ran
+      return keep.toSeq.toDF("doc_id", "keep_id")
+    }
     val edges = OpScratch.track(
       e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -255,7 +304,7 @@ object Dedup {
   def substringDup(docs: DataFrame, minTokens: Int = 50,
                    maxWindowDf: Long = 10000L): DataFrame = {
     val arrs = OpScratch.track(
-      docs.select(col("doc_id"), toksCol.as("toks"))
+      TextAnalysis.fanOut(docs).select(col("doc_id"), toksCol.as("toks"))
         .select(col("doc_id"),
           when(size(col("toks")) < minTokens, array().cast("array<string>"))
             .otherwise(transform(
@@ -359,6 +408,13 @@ object Dedup {
     val rows = numHashes / bands
     val sigs = OpScratch.track(minhashSignatures(docs, w, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // materialize the signature cache ONCE before fan-out: the plan below
+    // references `sigs` four times (two banding legs + two signature
+    // re-attach joins), and AQE submits their stage jobs concurrently —
+    // against a cold cache each job recomputed the full shingle+MinHash
+    // pass (measured: 4 concurrent ~2 s jobs at sf0.1 doing one job's
+    // work). One count pays the pass once; every leg then reads cache.
+    sigs.count()
     // posexplode_outer (TextAnalysis.explodeNN scaladoc): inner
     // posexplode's inferred pre-filter re-builds the band transform twice
     // more per row
@@ -401,7 +457,7 @@ object Dedup {
       while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
       out
     }
-    docs.select(col("doc_id"), toksCol.as("toks"))
+    TextAnalysis.fanOut(docs).select(col("doc_id"), toksCol.as("toks"))
       .select(col("doc_id"), simUdf(col("toks")).as("simhash"))
   }
 
@@ -509,7 +565,9 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         ham(col("a.simhash"), col("b.simhash")).as("hamming"))
-      .distinct()
+      // radius filter BEFORE the pair distinct: same surviving rows
+      // (hamming is a function of the pair), far fewer rows deduplicated
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -251,8 +251,12 @@ object Similarity {
     */
   def trainIvfCentroids(emb: DataFrame, nCentroids: Int, trainN: Long,
                         iters: Int): Array[Array[Double]] = {
+    // driver-side sort of the bounded sample: a distributed orderBy on
+    // ≤ trainN rows costs a range-partitioning sampling job before the
+    // collect — two scheduler round-trips for rows that fit in one
     val train = emb.filter(col("vec_id") < trainN)
-      .select("vec_id", "embedding").orderBy("vec_id").collect()
+      .select("vec_id", "embedding").collect()
+      .sortBy(_.getLong(0))
       .map(r => r.getSeq[Float](1).toArray.map(_.toDouble))
     require(train.length >= nCentroids,
       s"need ≥ $nCentroids training vectors, got ${train.length}")
@@ -368,8 +372,19 @@ object Similarity {
     * without storing them.
     */
   def q8IvfStore(emb: DataFrame, nCentroids: Int = 8, iters: Int = 2,
-                 trainN: Long = 256L): DataFrame = {
-    val cents = trainIvfCentroids(emb, nCentroids, trainN, iters)
+                 trainN: Long = 256L): DataFrame =
+    q8IvfStoreWith(emb,
+      trainIvfCentroids(emb, nCentroids, trainN, iters),
+      nCentroids, iters, trainN)
+
+  /** [[q8IvfStore]] with already-trained centroids — lets a caller that
+    * trained for its own probe side (ivfTopKQ8) reuse them instead of
+    * paying the training collect + Lloyd loop twice for identical
+    * deterministic output.
+    */
+  private def q8IvfStoreWith(emb: DataFrame, cents: Array[Array[Double]],
+                             nCentroids: Int, iters: Int,
+                             trainN: Long): DataFrame = {
     val assignUdf = udf { (v: Seq[Float]) =>
       nearestCentroid(v.toArray.map(_.toDouble), cents)
     }
@@ -427,7 +442,8 @@ object Similarity {
               s"trainN=$trainN) — centroid spaces differ")
         }
     }
-    val idx = store.getOrElse(q8IvfStore(emb, nCentroids, iters, trainN))
+    val idx = store.getOrElse(
+      q8IvfStoreWith(emb, cents, nCentroids, iters, trainN))
     // query side: tiny by contract — quantized the same way, probing its
     // nProbe nearest cells (outer explode per explodeNN scaladoc)
     val queries = emb.filter(col("vec_id").isin(queryIds: _*))
@@ -519,7 +535,10 @@ object Similarity {
                     useLsh: Boolean = false, nBits: Int = 8): DataFrame = {
     val pairs =
       if (useLsh) {
-        val b = lshBuckets(emb, nBits)
+        // persisted: the self-join's build and stream legs otherwise each
+        // recompute the hyperplane signature UDF over the whole corpus
+        val b = OpScratch.track(lshBuckets(emb, nBits)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         b.as("a").join(b.as("b"),
             col("a.table") === col("b.table") &&
               col("a.bucket") === col("b.bucket") &&

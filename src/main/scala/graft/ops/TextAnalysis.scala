@@ -17,6 +17,27 @@ object TextAnalysis {
   def tokensCol(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
 
+  /** Scale-adaptive parallelism floor (guide §2.5, "input skew: one huge
+    * unsplittable file"): a small or single-row-group parquet input plans
+    * ONE scan partition, and every CPU-dense per-row stage downstream
+    * (signature UDFs, shingle digests, BPE encodes) then runs serially no
+    * matter how many cores the cluster has — file-split knobs cannot help
+    * because a parquet split below row-group granularity reads nothing.
+    * When the planned scan parallelism is far below the cluster's, hash-
+    * redistribute by a uniform key first: the shuffle moves the small
+    * input once (by construction it IS small — few partitions), and at
+    * scale the condition is false so this is a no-op with no shuffle.
+    * Hash-by-key, not round-robin: round-robin repartition pays a local
+    * sort (sortBeforeRepartition) and is retry-sensitive; the key hash is
+    * deterministic. Every consumer op is partitioning-invariant (their
+    * aggregations/joins are keyed), so results are unchanged.
+    */
+  private[graft] def fanOut(df: DataFrame, key: String = "doc_id",
+                            cap: Int = Int.MaxValue): DataFrame = {
+    val p = math.min(cap, df.sparkSession.sparkContext.defaultParallelism)
+    if (df.rdd.getNumPartitions * 2 < p) df.repartition(p, col(key)) else df
+  }
+
   /** Exploding a COMPUTED array column must use the outer variant plus a
     * null filter on the generator OUTPUT (`explodeNN` below): inner
     * explode triggers Catalyst's InferFiltersFromGenerate, whose inferred
@@ -290,7 +311,7 @@ object TextAnalysis {
     // runs once per row — inlining tokensCol straight into the lambda
     // would re-tokenize per gram ELEMENT (quadratic per row, measured
     // 7.7 s vs 0.9 s on this op at sf0.1)
-    val t = docs.select(tokensCol(col("text")).as("toks"))
+    val t = fanOut(docs).select(tokensCol(col("text")).as("toks"))
     val toks = col("toks")
     // unigrams ride as (w1, null); bigrams as (w1, w2) — one array, one
     // explode, one shuffle, and groupBy's null-safe grouping splits them
@@ -312,12 +333,16 @@ object TextAnalysis {
       .select(col("w1"), col("w2"), col("c").as("cab"))
     val uni = counts.filter(col("w2").isNull)
       .select(col("w1").as("w"), col("c").as("cu"))
-    val n1 = uni.agg(sum("cu").cast("double").as("n1"))
-    val n2 = big.agg(sum("cab").cast("double").as("n2"))
+    // ONE totals pass over the counted table: n1/n2 are sums of disjoint
+    // slices of the same cached frame, so two separate aggregations (two
+    // broadcast-build jobs) compute identical doubles to this single agg
+    val tot = counts.agg(
+      sum(when(col("w2").isNull, col("c"))).cast("double").as("n1"),
+      sum(when(col("w2").isNotNull, col("c"))).cast("double").as("n2"))
     val joined = big
       .join(uni.select(col("w").as("w1"), col("cu").as("ca")), "w1")
       .join(uni.select(col("w").as("w2"), col("cu").as("cb")), "w2")
-      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .crossJoin(broadcast(tot))
       .filter(col("cab") >= minCount)
       .withColumn("pmiraw",
         log((col("cab").cast("double") / col("n2")) /
@@ -345,7 +370,7 @@ object TextAnalysis {
     require(n >= 1 && k >= 1, s"need n >= 1, k >= 1; got n=$n k=$k")
     // tokens projected first — see the collocations comment (inlining
     // tokensCol into the slice lambda re-tokenizes per gram element)
-    val t = docs.select(tokensCol(col("text")).as("toks"))
+    val t = fanOut(docs).select(tokensCol(col("text")).as("toks"))
     val toks = col("toks")
     // Spark 4 trap: sequence(0, x) FLIPS direction for x < 0, so the
     // short-doc case must short-circuit to an empty array
@@ -365,7 +390,7 @@ object TextAnalysis {
     * once for the term-keyed corpus aggregate, once for the join back.
     */
   private def termFreqs(docs: DataFrame): DataFrame = {
-    val t = docs.select(col("doc_id"), tokensCol(col("text")).as("toks"))
+    val t = fanOut(docs).select(col("doc_id"), tokensCol(col("text")).as("toks"))
     OpScratch.track(
       explodeNN(t, Seq(col("doc_id")), col("toks"), "term")
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))

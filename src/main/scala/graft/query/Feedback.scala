@@ -82,7 +82,13 @@ object Feedback {
     val origTerms = engine.collectLeaves(root).map(_._1)
     val fbIds = engine.searchNode(root, fbDocs).collect()
       .map(_.getAs[Long]("docId")).toSeq
-    val exp = expansionTerms(docs, fbIds, origTerms.toSet, fbTerms)
-    engine.searchNode(expandedNode(origTerms.distinct, exp, alpha), k)
+    val exp =
+      if (fbIds.isEmpty) Nil
+      else expansionTerms(docs, fbIds, origTerms.toSet, fbTerms)
+    // conventional RM3 degradation: no feedback docs, or no eligible
+    // expansion terms (all stopwords / query terms) → the original query
+    // stands; expandedNode's non-empty require stays an internal invariant
+    if (exp.isEmpty) engine.searchNode(root, k)
+    else engine.searchNode(expandedNode(origTerms.distinct, exp, alpha), k)
   }
 }

@@ -51,18 +51,25 @@ object StreamingIndexer {
     val filtered = conf.langFilter
       .map(l => batch.filter(col("lang") === l)).getOrElse(batch)
     val base = readHwm(out)
-    val (ids, release) =
+    val (ids, n, release) =
       IndexStore.assignDocIds(filtered, conf.shufflePartitions, base)
     try {
-      val dObs = org.apache.spark.sql.Observation(s"docmap-b$batchId")
-      ids.observe(dObs, count(lit(1)).as("docs"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$out/docmap/batch=$batchId")
-      val n = dObs.get("docs").asInstanceOf[Long]
+      // the two writes consume the SAME cached assignment and touch
+      // disjoint outputs — concurrent jobs (guide §2.6); the hwm/manifest
+      // commit point below still happens only after both finish
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fDocmap = Future {
+        ids.write.mode(SaveMode.Overwrite)
+          .parquet(s"$out/docmap/batch=$batchId")
+      }
       val (obs, aggs) = IndexStore.miniObs(s"batch-$batchId")
       IndexBuilder.miniSegments(ids, conf.streamBucketDocs).toDF()
         .observe(obs, aggs.head, aggs.tail: _*)
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$out/minisegs/slice=b$batchId")
+      Await.result(fDocmap, Duration.Inf)
       // commit order matters: hwm first, then the manifest that marks the
       // batch done — a crash in between replays the batch onto the same
       // (already-written, overwritten) outputs with a fresh hwm window

@@ -70,8 +70,8 @@ class FeedbackSpec extends AnyFunSuite {
     val weighted = "#weight(" +
       (origs.map(t => s"$ow $t") ++ exp.map(t => s"$ew $t")).mkString(" ") +
       ")"
-    val oracle = new RefOracle(RefOracle.buildIndex(fieldDocTriples),
-      RefOracle.collStats(RefOracle.buildIndex(fieldDocTriples)), Indri())
+    val refIdx = RefOracle.buildIndex(fieldDocTriples)
+    val oracle = new RefOracle(refIdx, RefOracle.collStats(refIdx), Indri())
     val expected = oracle.search(weighted, 20, parser)
     val got = Feedback.rm3Search(engine, parser, docsDf, query, 20)
       .collect().sortBy(_.getAs[Int]("rank"))

@@ -620,10 +620,16 @@ class OpsSpec extends AnyFunSuite {
     val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L),
       (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
       .toDF("id_a", "id_b")
-    val got = Dedup.duplicateClusters(pairs).collect()
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    // distributed label-propagation path (forced: local cap 0)
+    val dist = Dedup.duplicateClusters(pairs, maxLocalEdges = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    assert(dist == expect)
+    // bounded-collect union-find fast path (default cap) — identical map
+    val local = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == expect)
   }
 
   test("jaccard df-cap defuses boilerplate shingles (skew defense)") {
