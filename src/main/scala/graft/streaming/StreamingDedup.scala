@@ -39,13 +39,18 @@ object StreamingDedup {
   def firstSeen(docs: Dataset[Doc]): Dataset[Keep] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.groupByKey(d => md5Hex(d.text))
+    // hash map-side and shuffle only (hash, doc_id): the state shuffle
+    // must move a few bytes of metadata per row, not the document text it
+    // would immediately discard (guide: shuffle keys and metadata instead
+    // of payloads) — at crawl scale the text column IS the corpus
+    docs.map(d => (md5Hex(d.text), d.doc_id))
+      .groupByKey(_._1)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (hash: String, it: Iterator[Doc], state: GroupState[Long]) =>
+        (hash: String, it: Iterator[(String, Long)], state: GroupState[Long]) =>
           if (state.exists) Iterator.empty
           else {
-            val keep = it.minBy(_.doc_id).doc_id
+            val keep = it.map(_._2).min
             state.update(keep)
             Iterator(Keep(hash, keep))
           }
