@@ -22,7 +22,6 @@ object Dedup {
 
   private def toksCol: Column = TextAnalysis.tokensCol(col("text"))
 
-
   /** Exact duplicate groups by md5(text): one row per duplicated content
     * hash with the kept (minimum) doc_id and group size.
     */
